@@ -1,0 +1,312 @@
+"""G-Shell marching tetrahedra with mSDF open-surface cutting (JAX, static shapes).
+
+TPU-native rebuild of the core novel op of the reference,
+``geometry/gshell_tets.py:245-443`` (``GShell_Tets.__call__``):
+
+  stage 1 — classic marching tets on SDF signs → watertight template mesh,
+            with per-vertex mSDF interpolated onto the template vertices;
+  stage 2 — per-face mSDF-sign lookup-table cutting of the template's
+            tri/quad patches into open-boundary triangles, appending boundary
+            vertices interpolated along template mesh edges.
+
+Differences from the reference that make it a *TPU program* rather than a port:
+
+  * **No per-step ``torch.unique``** — edge identity comes from the static
+    analytic incidence of :class:`~gshell_tpu.geometry.tet_grid.TetGrid`.
+  * **Fixed-capacity compaction** — valid tets and crossing edges are
+    compacted with ``jnp.nonzero(size=...)`` into static-shape buffers with
+    validity masks, so the whole extractor jits once and never recompiles.
+  * **Slot-addressed outputs** — tet slot ``t`` owns face slots
+    ``[2t, 2t+1]`` (template) and ``[4t..4t+3]`` (cut mesh), and boundary
+    vertex slots ``[4t..4t+3]``; no data-dependent concatenation.
+
+Gradient semantics match the reference exactly:
+  * SDF-interp weights carry gradients to ``sdf`` and positions (ref :277-290).
+  * ``msdf_vert_stopvgd`` uses stop-gradiented SDF weights (ref :290).
+  * Boundary-vertex positions carry gradients through the mSDF cut
+    coefficients (this is what moves the open boundary; ref :368-380), but
+    the *output mSDF values* at boundary vertices detach those coefficients
+    (ref :382-390).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.math import build_orthonormal_basis
+from ..ops.mesh_ops import auto_normals
+from . import tet_tables as tt
+from .tet_grid import TetGrid, default_capacities
+
+
+class GShellMesh(NamedTuple):
+    """Extraction result. All shapes static; padding marked by masks.
+
+    Vertex buffer layout (rows of ``verts``):
+      ``[0 : V)``               template (watertight) vertices, slot per
+                                crossing edge;
+      ``[V]``                   sentinel zero vertex (degenerate-face target);
+      ``[V+1 : V+1+4*T)``       boundary vertices, 4 slots per valid-tet slot.
+    """
+
+    verts: jax.Array  # (V + 1 + 4*T, 3)
+    faces: jax.Array  # (4*T, 3) int32 — mSDF-cut (open-surface) faces
+    face_valid: jax.Array  # (4*T,) bool
+    v_nrm: jax.Array  # (V + 1 + 4*T, 3) smooth normals of the cut mesh
+    v_tng: jax.Array  # (V + 1 + 4*T, 3)
+    msdf: jax.Array  # (V + 1 + 4*T,) stop-vgrad mSDF at every vertex
+    msdf_watertight: jax.Array  # (V + 1,)
+    msdf_boundary: jax.Array  # (4*T,)
+    faces_wt: jax.Array  # (2*T, 3) int32 — watertight template faces
+    face_wt_valid: jax.Array  # (2*T,) bool
+    n_verts_watertight: int  # static: V + 1 (boundary rows start after this)
+    n_valid_tets: jax.Array  # () int32 — true count (overflow monitoring)
+    n_crossing_edges: jax.Array  # () int32
+
+
+def _safe_inv_denominator(d: jax.Array, valid: jax.Array) -> jax.Array:
+    """Reference's denominator guard (ref :281-283) with NaN-safe gradients."""
+    d = jnp.where(valid, d, 1.0)
+    mag = jnp.maximum(jnp.abs(d), 1e-12)
+    sign = jnp.where(d >= 0, 1.0, -1.0)
+    return sign / mag
+
+
+class GShellTets:
+    """Statically-shaped G-Shell marching tets over a :class:`TetGrid`.
+
+    Args:
+      grid: static lattice topology.
+      max_tets: capacity for valid (surface-crossing) tets.
+      max_verts: capacity for crossing edges (= template vertices).
+    """
+
+    def __init__(self, grid: TetGrid, max_tets: int | None = None, max_verts: int | None = None):
+        if max_tets is None or max_verts is None:
+            d_tets, d_verts = default_capacities(grid.res, grid.n_tets, grid.n_edges)
+            max_tets = max_tets or d_tets
+            max_verts = max_verts or d_verts
+        self.grid = grid
+        self.max_tets = int(max_tets)
+        self.max_verts = int(max_verts)
+
+        n, t, e = grid.n_verts, grid.n_tets, grid.n_edges
+        self.n_grid_verts = n
+        self.n_grid_tets = t
+        self.n_grid_edges = e
+
+        # Padded static topology (sentinel rows appended).
+        self.tets_pad = jnp.asarray(
+            np.concatenate([grid.tets, np.full((1, 4), n, np.int32)], axis=0)
+        )
+        self.tet_edges_pad = jnp.asarray(
+            np.concatenate([grid.tet_edges, np.full((1, 6), e, np.int32)], axis=0)
+        )
+        self.edges_pad = jnp.asarray(
+            np.concatenate([grid.edges, np.full((1, 2), n, np.int32)], axis=0)
+        )
+
+        # Tables.
+        self.triangle_table = jnp.asarray(tt.TRIANGLE_TABLE)
+        self.mesh_edge_table = jnp.asarray(tt.MESH_EDGE_TABLE)
+        self.tri_table = jnp.asarray(tt.TRIANGLE_TABLE_TRI)
+        self.quad_table = jnp.asarray(tt.TRIANGLE_TABLE_QUAD)
+        self.num_tri_table = jnp.asarray(tt.NUM_TRIANGLES_TABLE)
+        self.num_tri_tri = jnp.asarray(tt.NUM_TRIANGLES_TRI_TABLE)
+        self.num_tri_quad = jnp.asarray(tt.NUM_TRIANGLES_QUAD_TABLE)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        pos: jax.Array,
+        sdf: jax.Array,
+        msdf: jax.Array,
+        watertight_template: bool = True,
+    ) -> GShellMesh:
+        """Extract the open-surface mesh.  Fully jittable.
+
+        Args:
+          pos:  (N, 3) deformed lattice vertex positions.
+          sdf:  (N,) signed distance values at lattice vertices.
+          msdf: (N,) manifold-SDF values at lattice vertices.
+          watertight_template: if False, pre-filter tets whose mSDF is all
+            non-positive (ref :255-263).
+        """
+        N = self.n_grid_verts
+        E = self.n_grid_edges
+        T = self.n_grid_tets
+        V, MT = self.max_verts, self.max_tets
+
+        # Sentinel-padded fields. sdf sentinel = +1 (occupied), msdf = -1.
+        pos_p = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)], axis=0)
+        sdf_p = jnp.concatenate([sdf, jnp.ones((1,), sdf.dtype)], axis=0)
+        msdf_p = jnp.concatenate([msdf, -jnp.ones((1,), msdf.dtype)], axis=0)
+        occ_p = sdf_p > 0
+
+        # ---- valid tets (ref :249-263) --------------------------------
+        occ4 = occ_p[self.tets_pad[:-1]]  # (T, 4)
+        occ_sum = occ4.sum(axis=-1)
+        valid = (occ_sum > 0) & (occ_sum < 4)
+        if not watertight_template:
+            msdf4 = msdf_p[self.tets_pad[:-1]] > 0
+            valid = valid & (msdf4.sum(axis=-1) > 0)
+        n_valid = valid.sum().astype(jnp.int32)
+        (tet_slots,) = jnp.nonzero(valid, size=MT, fill_value=T)
+        tet_valid = tet_slots < T
+
+        # ---- crossing edges → template vertices (ref :266-290) --------
+        e_occ = occ_p[self.edges_pad[:-1]]  # (E, 2)
+        crossing = e_occ[:, 0] != e_occ[:, 1]
+        n_cross = crossing.sum().astype(jnp.int32)
+        (edge_slots,) = jnp.nonzero(crossing, size=V, fill_value=E)
+        slot_valid = edge_slots < E
+
+        # edge id → template vertex slot (sentinel rows → V)
+        vert_of_edge = jnp.full((E + 1,), V, jnp.int32)
+        vert_of_edge = vert_of_edge.at[edge_slots].set(
+            jnp.arange(V, dtype=jnp.int32), mode="drop"
+        )
+        vert_of_edge = vert_of_edge.at[E].set(V)
+
+        ev = self.edges_pad[edge_slots]  # (V, 2) endpoint grid-vertex ids
+        pa, pb = pos_p[ev[:, 0]], pos_p[ev[:, 1]]
+        sa, sb = sdf_p[ev[:, 0]], sdf_p[ev[:, 1]]
+        denom_inv = _safe_inv_denominator(sa - sb, slot_valid)
+        wa = -sb * denom_inv
+        wb = sa * denom_inv
+        verts = pa * wa[:, None] + pb * wb[:, None]
+        verts = jnp.where(slot_valid[:, None], verts, 0.0)
+
+        ma, mb = msdf_p[ev[:, 0]], msdf_p[ev[:, 1]]
+        msdf_vert = ma * wa + mb * wb
+        wa_sg, wb_sg = jax.lax.stop_gradient(wa), jax.lax.stop_gradient(wb)
+        msdf_vert_sg = ma * wa_sg + mb * wb_sg  # stop-vgrad twin (ref :290)
+        msdf_vert = jnp.where(slot_valid, msdf_vert, 0.0)
+        msdf_vert_sg = jnp.where(slot_valid, msdf_vert_sg, 0.0)
+
+        # Template vertex buffer with sentinel zero row at index V.
+        verts_buf = jnp.concatenate([verts, jnp.zeros((1, 3), verts.dtype)], axis=0)
+        msdf_buf = jnp.concatenate([msdf_vert, jnp.zeros((1,), msdf_vert.dtype)])
+        msdf_sg_buf = jnp.concatenate([msdf_vert_sg, jnp.zeros((1,), msdf_vert_sg.dtype)])
+
+        # ---- per-tet template faces (ref :294-316) ---------------------
+        g_tets = self.tets_pad[tet_slots]  # (MT, 4)
+        g_occ4 = occ_p[g_tets].astype(jnp.int32)
+        tetindex = (g_occ4 * jnp.asarray([1, 2, 4, 8], jnp.int32)).sum(axis=-1)
+        num_tri = self.num_tri_table[tetindex]  # (MT,) ∈ {0,1,2}
+
+        idx6 = vert_of_edge[self.tet_edges_pad[tet_slots]]  # (MT, 6) ∈ [0, V]
+
+        trow = self.triangle_table[tetindex]  # (MT, 6)
+        trow_c = jnp.clip(trow, 0, 5)
+        f01 = jnp.take_along_axis(idx6, trow_c, axis=1)  # (MT, 6)
+        face0 = jnp.where((num_tri >= 1)[:, None], f01[:, :3], V)
+        face1 = jnp.where((num_tri == 2)[:, None], f01[:, 3:6], V)
+        faces_wt = jnp.stack([face0, face1], axis=1).reshape(-1, 3)  # (2*MT, 3)
+        face_wt_valid = jnp.stack([num_tri >= 1, num_tri == 2], axis=1).reshape(-1)
+
+        # Template normals (needed for tangent frame; ref :318-319).
+        v_nrm_t = auto_normals(verts_buf, faces_wt, face_wt_valid)
+        # Tangents: ONB of the smooth normal. (The reference derives tangents
+        # from a synthetic per-tet UV atlas, but the training path uses
+        # use_uv=False where tangents are re-randomized per pixel —
+        # render/render.py:264-267 — so an ONB tangent is equivalent.)
+        v_tng_t, _ = build_orthonormal_basis(v_nrm_t)
+
+        # ---- mSDF cutting (ref :321-416) --------------------------------
+        me = jnp.clip(self.mesh_edge_table[tetindex], 0, 5)  # (MT, 6)
+        corners = jnp.take_along_axis(idx6, me[:, :4], axis=1)  # (MT, 4) ∈ [0, V]
+        # For tri patches mesh_edge_table rows are closed cycles
+        # [c0, c1, c2, c0, ...] so corners[:, 3] == corners[:, 0].
+
+        c_msdf = msdf_buf[corners]  # (MT, 4) — gradient-carrying mSDF
+        c_msdf_sg = msdf_sg_buf[corners]
+        mocc = (c_msdf > 0).astype(jnp.int32)
+
+        is_quad = num_tri == 2
+        # Flipped bit weights (ref :396-399, 609).
+        idx_tri = mocc[:, 0] * 4 + mocc[:, 1] * 2 + mocc[:, 2]
+        idx_quad = mocc[:, 0] * 8 + mocc[:, 1] * 4 + mocc[:, 2] * 2 + mocc[:, 3]
+
+        # Boundary vertices on the 4 cycle edges (c_j, c_{j+1 mod 4}).
+        nxt = jnp.roll(jnp.arange(4), -1)
+        cu, cw = corners, corners[:, nxt]  # (MT, 4) each
+        mu, mw = c_msdf, c_msdf[:, nxt]
+        mu_sg, mw_sg = c_msdf_sg, c_msdf_sg[:, nxt]
+
+        sign_ok = jnp.abs(jnp.sign(mu) + jnp.sign(mw)) != 2  # opposite/zero signs
+        denom = mu - mw
+        cut_ok = sign_ok & (jnp.abs(denom) > 1e-12) & tet_valid[:, None]
+        denom_safe = jnp.where(cut_ok, denom, 1.0)
+        bu = jnp.where(cut_ok, -mw / denom_safe, 0.0)  # weight of corner j
+        bw = jnp.where(cut_ok, mu / denom_safe, 0.0)  # weight of corner j+1
+
+        vu, vw = verts_buf[cu], verts_buf[cw]  # (MT, 4, 3)
+        b_verts = vu * bu[..., None] + vw * bw[..., None]
+        tu, tw = v_tng_t[cu], v_tng_t[cw]
+        b_tng = tu * bu[..., None] + tw * bw[..., None]
+        bu_sg, bw_sg = jax.lax.stop_gradient(bu), jax.lax.stop_gradient(bw)
+        b_msdf = mu_sg * bu_sg + mw_sg * bw_sg  # detached coefs (ref :383)
+
+        # Global ids of boundary slots.
+        t_ids = jnp.arange(MT, dtype=jnp.int32)
+        b_gid = (V + 1) + t_ids[:, None] * 4 + jnp.arange(4, dtype=jnp.int32)[None, :]
+
+        # Cut-face emission: tri patches fill face slots 0..1, quads 0..3.
+        idx_tri_map = jnp.concatenate([corners[:, :3], b_gid[:, :3]], axis=1)  # (MT, 6)
+        idx_quad_map = jnp.concatenate([corners, b_gid], axis=1)  # (MT, 8)
+
+        tri_row = jnp.clip(self.tri_table[idx_tri], 0, 5)  # (MT, 6)
+        quad_row = jnp.clip(self.quad_table[idx_quad], 0, 7)  # (MT, 12)
+        tri_faces = jnp.take_along_axis(idx_tri_map, tri_row, axis=1).reshape(-1, 2, 3)
+        quad_faces = jnp.take_along_axis(idx_quad_map, quad_row, axis=1).reshape(-1, 4, 3)
+
+        n_cut_tri = self.num_tri_tri[idx_tri]  # (MT,)
+        n_cut_quad = self.num_tri_quad[idx_quad]
+        farange = jnp.arange(4, dtype=jnp.int32)[None, :]
+        tri_fvalid = (farange < n_cut_tri[:, None]) & (farange < 2)
+        quad_fvalid = farange < n_cut_quad[:, None]
+
+        tri_faces4 = jnp.concatenate(
+            [tri_faces, jnp.full((MT, 2, 3), V + 1 + 4 * MT, jnp.int32)], axis=1
+        )
+        use_quad = is_quad[:, None, None]
+        faces_aug = jnp.where(use_quad, quad_faces, tri_faces4)
+        face_valid = jnp.where(is_quad[:, None], quad_fvalid, tri_fvalid)
+        face_valid = face_valid & tet_valid[:, None] & (num_tri > 0)[:, None]
+
+        # Route invalid faces to the sentinel zero vertex (degenerate).
+        faces_aug = jnp.where(face_valid[..., None], faces_aug, V)
+        faces_aug = faces_aug.reshape(-1, 3)
+        face_valid = face_valid.reshape(-1)
+
+        # ---- assemble augmented buffers ---------------------------------
+        b_mask = tet_valid[:, None] & cut_ok
+        b_verts = jnp.where(b_mask[..., None], b_verts, 0.0).reshape(-1, 3)
+        b_tng = jnp.where(b_mask[..., None], b_tng, 0.0).reshape(-1, 3)
+        b_msdf = jnp.where(b_mask, b_msdf, 0.0).reshape(-1)
+
+        verts_aug = jnp.concatenate([verts_buf, b_verts], axis=0)
+        v_tng_aug = jnp.concatenate([v_tng_t, b_tng], axis=0)
+        msdf_aug = jnp.concatenate([msdf_sg_buf, b_msdf], axis=0)
+
+        v_nrm_aug = auto_normals(verts_aug, faces_aug, face_valid)
+
+        return GShellMesh(
+            verts=verts_aug,
+            faces=faces_aug,
+            face_valid=face_valid,
+            v_nrm=v_nrm_aug,
+            v_tng=v_tng_aug,
+            msdf=msdf_aug,
+            msdf_watertight=msdf_sg_buf,
+            msdf_boundary=b_msdf,
+            faces_wt=faces_wt,
+            face_wt_valid=face_wt_valid,
+            n_verts_watertight=V + 1,
+            n_valid_tets=n_valid,
+            n_crossing_edges=n_cross,
+        )
