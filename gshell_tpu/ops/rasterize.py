@@ -1,0 +1,331 @@
+"""Differentiable TPU rasterizer: coverage, interpolation, analytic antialias.
+
+TPU-native replacement for nvdiffrast (``dr.rasterize`` / ``dr.interpolate`` /
+``dr.antialias``), used by the reference at ``render/render.py:377-379,
+240-275, 352-359``.  Design:
+
+  * ``rasterize``      — pure *discrete* visibility: per pixel, the nearest
+    covering triangle id and its perspective-correct barycentrics.  Not
+    differentiated (the discrete argmin has no useful gradient); outputs are
+    stop-gradiented.
+  * ``interpolate``    — re-computes barycentrics *differentiably* from the
+    clip positions of the selected triangle, then blends vertex attributes.
+    This reproduces nvdiffrast's position+attribute gradients via plain JAX
+    autodiff instead of hand-written CUDA backward kernels.
+  * ``antialias``      — nvdiffrast-style silhouette antialiasing on
+    neighbor pixel pairs with differing triangle ids; the blend weight is a
+    differentiable function of the crossing point of the winning triangle's
+    edge, which is what moves silhouettes during optimization.
+
+Scaling: ``rasterize`` scans static triangle chunks; the binned variant for
+10⁵–10⁶-face meshes lives in ``rasterize_tiled`` (same outputs).
+
+Conventions: OpenGL-style clip space; with the reference's projection matrix
+(``render/util.py`` perspective, y row negated) pixel row 0 is the top of the
+image.  Triangle ids in the rast buffer are 1-based; 0 = background.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Rast(NamedTuple):
+    tri_id: jax.Array  # (H, W) int32; 0 = background, else face index + 1
+    bary: jax.Array  # (H, W, 2) perspective-correct (b0, b1); b2 = 1-b0-b1
+    zbuf: jax.Array  # (H, W) NDC depth of hit (+BIG at background)
+
+
+_W_EPS = 1e-6
+_BIG = jnp.float32(3.4e38)
+
+
+def _pixel_centers(h: int, w: int):
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
+    return ys, xs
+
+
+def _tri_screen(v_clip: jax.Array, faces: jax.Array, h: int, w: int):
+    """Screen-space positions (x∈[0,W], y∈[0,H]) + ndc z + 1/w per corner."""
+    tri = v_clip[faces]  # (F, 3, 4)
+    ww = tri[..., 3]
+    valid_w = ww > _W_EPS
+    inv_w = jnp.where(valid_w, 1.0 / jnp.maximum(ww, _W_EPS), 0.0)
+    ndc = tri[..., :3] * inv_w[..., None]
+    sx = (ndc[..., 0] * 0.5 + 0.5) * w
+    sy = (ndc[..., 1] * 0.5 + 0.5) * h
+    return sx, sy, ndc[..., 2], inv_w, valid_w.all(axis=-1)
+
+
+def _edge_coeffs(sx, sy):
+    """Per-triangle edge-function coefficients.
+
+    Edge k is opposite corner k:  e_k(p) = a_k x + b_k y + c_k, and the
+    screen barycentric of corner k is b_k = e_k / (2·area).
+    """
+    x0, x1, x2 = sx[..., 0], sx[..., 1], sx[..., 2]
+    y0, y1, y2 = sy[..., 0], sy[..., 1], sy[..., 2]
+    a0, b0, c0 = y1 - y2, x2 - x1, x1 * y2 - x2 * y1
+    a1, b1, c1 = y2 - y0, x0 - x2, x2 * y0 - x0 * y2
+    a2, b2, c2 = y0 - y1, x1 - x0, x0 * y1 - x1 * y0
+    area2 = a2 * (x2 - x0) + b2 * (y2 - y0)  # = 2 * signed area
+    a = jnp.stack([a0, a1, a2], -1)
+    b = jnp.stack([b0, b1, b2], -1)
+    c = jnp.stack([c0, c1, c2], -1)
+    return a, b, c, area2
+
+
+def rasterize(
+    v_clip: jax.Array,
+    faces: jax.Array,
+    resolution: tuple[int, int],
+    chunk: int = 128,
+) -> Rast:
+    """Rasterize, scanning static triangle chunks (fully jittable).
+
+    v_clip: (V, 4) clip-space positions.  faces: (F, 3) int32 (degenerate /
+    padded faces never cover).  resolution: (H, W).
+    """
+    h, w = resolution
+    f = faces.shape[0]
+    pad = (-f) % chunk
+    # Padded rows gather v_clip[0] three times → zero area → culled.
+    faces_p = jnp.pad(faces, ((0, pad), (0, 0)))
+
+    sx, sy, z, inv_w, tri_ok = _tri_screen(v_clip, faces_p, h, w)
+    tri_ok = tri_ok & (jnp.arange(faces_p.shape[0]) < f)
+    a, b, c, area2 = _edge_coeffs(sx, sy)
+
+    ys, xs = _pixel_centers(h, w)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    px = px.reshape(-1)  # (P,)
+    py = py.reshape(-1)
+
+    n_chunks = faces_p.shape[0] // chunk
+    nonzero = jnp.abs(area2) > 1e-12
+    area_safe = jnp.where(nonzero, area2, 1.0)
+
+    def body(carry, idx):
+        best_z, best_id = carry
+        sl = lambda t: jax.lax.dynamic_slice_in_dim(t, idx * chunk, chunk, axis=0)
+        ca, cb, cc = sl(a), sl(b), sl(c)
+        e = (
+            ca[None, :, :] * px[:, None, None]
+            + cb[None, :, :] * py[:, None, None]
+            + cc[None, :, :]
+        )  # (P, chunk, 3)
+        cover = ((e >= 0.0).all(-1) | (e <= 0.0).all(-1)) & (
+            sl(nonzero) & sl(tri_ok)
+        )[None, :]
+        sb = e / sl(area_safe)[None, :, None]
+        depth = (sb * sl(z)[None, :, :]).sum(-1)
+        cover = cover & (depth >= -1.0) & (depth <= 1.0)
+        depth = jnp.where(cover, depth, _BIG)  # (P, chunk)
+        k = jnp.argmin(depth, axis=-1)
+        zk = jnp.take_along_axis(depth, k[:, None], axis=-1)[:, 0]
+        idk = (idx * chunk + k).astype(jnp.int32)
+        better = zk < best_z
+        return (
+            jnp.where(better, zk, best_z),
+            jnp.where(better, idk, best_id),
+        ), None
+
+    init = (jnp.full((h * w,), _BIG), jnp.full((h * w,), -1, jnp.int32))
+    (best_z, best_id), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+
+    hit = best_id >= 0
+    tri_id = jnp.where(hit, best_id + 1, 0).reshape(h, w)
+    zbuf = jnp.where(hit, best_z, _BIG).reshape(h, w)
+    bary = _recompute_bary(v_clip, faces, tri_id.reshape(-1), px, py, h, w)
+    bary = bary.reshape(h, w, 2)
+    return Rast(
+        tri_id=jax.lax.stop_gradient(tri_id),
+        bary=jax.lax.stop_gradient(bary),
+        zbuf=jax.lax.stop_gradient(zbuf),
+    )
+
+
+def _recompute_bary(v_clip, faces, tri_id, px, py, h, w):
+    """Perspective-correct (b0, b1) for each pixel's selected triangle.
+
+    Differentiable w.r.t. ``v_clip`` — the gradient path through which
+    interior shading moves vertices (nvdiffrast's rasterize backward)."""
+    fid = jnp.maximum(tri_id - 1, 0)
+    tri = v_clip[faces[fid]]  # (P, 3, 4)
+    ww = tri[..., 3]
+    inv_w = 1.0 / jnp.maximum(ww, _W_EPS)
+    sx = (tri[..., 0] * inv_w * 0.5 + 0.5) * w
+    sy = (tri[..., 1] * inv_w * 0.5 + 0.5) * h
+    a, b, c, area2 = _edge_coeffs(sx, sy)
+    e = a * px[:, None] + b * py[:, None] + c  # (P, 3)
+    area_safe = jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    sb = e / area_safe[:, None]
+    pc = sb * inv_w  # perspective correction
+    denom = pc.sum(-1, keepdims=True)
+    pc = pc / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    return pc[:, :2]
+
+
+def interpolate(
+    attr: jax.Array,
+    rast: Rast,
+    faces: jax.Array,
+    v_clip: jax.Array | None = None,
+) -> jax.Array:
+    """Blend per-vertex attributes at each pixel (nvdiffrast ``interpolate``).
+
+    If ``v_clip`` is given, barycentrics are *recomputed differentiably* from
+    it (gradients flow to positions); otherwise the stored rast barycentrics
+    are used (attribute gradients only).
+
+    attr: (V, C).  Returns (H, W, C); zeros at background.
+    """
+    h, w = rast.tri_id.shape
+    tri_id = rast.tri_id.reshape(-1)
+    if v_clip is not None:
+        ys, xs = _pixel_centers(h, w)
+        py, px = jnp.meshgrid(ys, xs, indexing="ij")
+        b01 = _recompute_bary(
+            v_clip, faces, tri_id, px.reshape(-1), py.reshape(-1), h, w
+        )
+    else:
+        b01 = rast.bary.reshape(-1, 2)
+    b2 = 1.0 - b01.sum(-1, keepdims=True)
+    bary = jnp.concatenate([b01, b2], axis=-1)  # (P, 3)
+    fid = jnp.maximum(tri_id - 1, 0)
+    av = attr[faces[fid]]  # (P, 3, C)
+    out = (av * bary[..., None]).sum(axis=1)
+    hit = (tri_id > 0)[:, None].astype(out.dtype)
+    return (out * hit).reshape(h, w, -1)
+
+
+def bary_screen_derivs(rast: Rast, faces: jax.Array, v_clip: jax.Array) -> jax.Array:
+    """(H, W, 4) = (du/dx, du/dy, dv/dx, dv/dy) of the perspective-correct
+    barycentrics — nvdiffrast's ``rast_db`` (texture LOD / z-grad)."""
+    h, w = rast.tri_id.shape
+    tri_id = rast.tri_id.reshape(-1)
+    fid = jnp.maximum(tri_id - 1, 0)
+    tri = v_clip[faces[fid]]
+    ww = tri[..., 3]
+    inv_w = 1.0 / jnp.maximum(ww, _W_EPS)
+    sx = (tri[..., 0] * inv_w * 0.5 + 0.5) * w
+    sy = (tri[..., 1] * inv_w * 0.5 + 0.5) * h
+    a, b, c, area2 = _edge_coeffs(sx, sy)
+    ys, xs = _pixel_centers(h, w)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    px, py = px.reshape(-1), py.reshape(-1)
+    area_safe = jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)[:, None]
+    e = a * px[:, None] + b * py[:, None] + c
+    sb = e / area_safe
+    dsb_dx = a / area_safe
+    dsb_dy = b / area_safe
+    # B = (sb·iw) / S,  S = Σ sb·iw
+    q = sb * inv_w
+    s = q.sum(-1, keepdims=True)
+    s = jnp.where(jnp.abs(s) > 1e-12, s, 1.0)
+    dq_dx = dsb_dx * inv_w
+    dq_dy = dsb_dy * inv_w
+    ds_dx = dq_dx.sum(-1, keepdims=True)
+    ds_dy = dq_dy.sum(-1, keepdims=True)
+    db_dx = (dq_dx * s - q * ds_dx) / (s * s)
+    db_dy = (dq_dy * s - q * ds_dy) / (s * s)
+    out = jnp.stack([db_dx[:, 0], db_dy[:, 0], db_dx[:, 1], db_dy[:, 1]], axis=-1)
+    hit = (tri_id > 0)[:, None].astype(out.dtype)
+    return (out * hit).reshape(h, w, 4)
+
+
+# ----------------------------------------------------------------------------
+# Antialiasing
+# ----------------------------------------------------------------------------
+
+
+def antialias(
+    color: jax.Array,
+    rast: Rast,
+    v_clip: jax.Array,
+    faces: jax.Array,
+) -> jax.Array:
+    """Silhouette antialiasing (nvdiffrast ``antialias`` semantics).
+
+    For every horizontal/vertical neighbor pair with differing triangle ids,
+    the nearer ("leading") triangle's separating edge is intersected with the
+    segment between the two pixel centers; the crossing position s ∈ [0, 1]
+    yields a blend of up to half a pixel:
+
+        s > ½ : other pixel is partially covered by the leading triangle
+                → blend other toward lead color with weight (s − ½);
+        s < ½ : leading pixel is partially uncovered
+                → blend lead toward other color with weight (½ − s).
+
+    Corrections from all pairs are accumulated additively (the reference
+    kernel accumulates atomically).  s is differentiable w.r.t. ``v_clip`` —
+    the silhouette gradient.  color: (H, W, C).
+    """
+    h, w = rast.tri_id.shape
+    tri_id = rast.tri_id
+    z = rast.zbuf
+
+    ys, xs = _pixel_centers(h, w)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def edge_vals(fid, qx, qy):
+        tri = v_clip[faces[fid]]
+        ww = tri[..., 3]
+        inv_w = 1.0 / jnp.maximum(ww, _W_EPS)
+        sx = (tri[..., 0] * inv_w * 0.5 + 0.5) * w
+        sy = (tri[..., 1] * inv_w * 0.5 + 0.5) * h
+        a, b, c, area2 = _edge_coeffs(sx, sy)
+        e = a * qx[..., None] + b * qy[..., None] + c
+        return e * jnp.sign(area2)[..., None]  # inside-positive
+
+    delta = jnp.zeros_like(color)
+
+    for axis in (1, 0):
+        if axis == 1:
+            ia = (slice(None), slice(0, w - 1))
+            ib = (slice(None), slice(1, w))
+        else:
+            ia = (slice(0, h - 1), slice(None))
+            ib = (slice(1, h), slice(None))
+
+        id_a, id_b = tri_id[ia], tri_id[ib]
+        differs = id_a != id_b
+        z_a, z_b = z[ia], z[ib]
+        a_leads = jnp.where(id_b == 0, True, jnp.where(id_a == 0, False, z_a <= z_b))
+        lead_fid = jnp.maximum(jnp.where(a_leads, id_a, id_b) - 1, 0)
+
+        e_a = edge_vals(lead_fid, px[ia], py[ia])  # (..., 3)
+        e_b = edge_vals(lead_fid, px[ib], py[ib])
+        e_lead = jnp.where(a_leads[..., None], e_a, e_b)
+        e_other = jnp.where(a_leads[..., None], e_b, e_a)
+
+        # Edge crossing on the lead→other segment: sign flips + → −.
+        crossing = (e_lead > 0.0) & (e_other < 0.0)
+        denom = e_lead - e_other
+        denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        s_all = jnp.where(crossing, e_lead / denom, _BIG)
+        s = jnp.min(s_all, axis=-1)
+        has_edge = differs & (s <= 1.0)
+        s = jnp.clip(jnp.where(has_edge, s, 0.5), 0.0, 1.0)[..., None]
+
+        c_a, c_b = color[ia], color[ib]
+        c_lead = jnp.where(a_leads[..., None], c_a, c_b)
+        c_other = jnp.where(a_leads[..., None], c_b, c_a)
+        m = has_edge[..., None].astype(color.dtype)
+
+        d_other = jnp.clip(s - 0.5, 0.0, 0.5) * m * (c_lead - c_other)
+        d_lead = jnp.clip(0.5 - s, 0.0, 0.5) * m * (c_other - c_lead)
+        d_a = jnp.where(a_leads[..., None], d_lead, d_other)
+        d_b = jnp.where(a_leads[..., None], d_other, d_lead)
+
+        if axis == 1:
+            delta = delta.at[:, :-1, :].add(d_a)
+            delta = delta.at[:, 1:, :].add(d_b)
+        else:
+            delta = delta.at[:-1, :, :].add(d_a)
+            delta = delta.at[1:, :, :].add(d_b)
+
+    return color + delta

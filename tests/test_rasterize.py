@@ -1,0 +1,158 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gshell_tpu.ops import math as gmath
+from gshell_tpu.ops.rasterize import antialias, bary_screen_derivs, interpolate, rasterize
+
+H = W = 64
+
+
+def clip_quad(z=0.5, half=0.5):
+    """Two triangles covering [-half, half]² at depth z (already in clip space,
+    w=1)."""
+    v = jnp.array(
+        [
+            [-half, -half, z, 1.0],
+            [half, -half, z, 1.0],
+            [half, half, z, 1.0],
+            [-half, half, z, 1.0],
+        ]
+    )
+    f = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    return v, f
+
+
+def test_coverage_and_depth():
+    v, f = clip_quad(half=0.5)
+    rast = jax.jit(lambda v: rasterize(v, f, (H, W)))(v)
+    ids = np.asarray(rast.tri_id)
+    # Central quarter covered, corners empty
+    assert ids[H // 2, W // 2] > 0
+    assert ids[2, 2] == 0 and ids[2, W - 3] == 0
+    frac = (ids > 0).mean()
+    assert abs(frac - 0.25) < 0.03
+
+    # Nearer quad occludes
+    v2, f2 = clip_quad(z=-0.2, half=0.25)
+    vv = jnp.concatenate([v, v2], axis=0)
+    ff = jnp.concatenate([f, f2 + 4], axis=0)
+    rast2 = rasterize(vv, ff, (H, W))
+    ids2 = np.asarray(rast2.tri_id)
+    assert ids2[H // 2, W // 2] >= 3  # front quad wins in the middle
+
+
+def test_interpolate_linear():
+    v, f = clip_quad()
+    rast = rasterize(v, f, (H, W))
+    # Attribute = clip x coordinate → image should reproduce pixel x
+    attr = v[:, 0:1]
+    img = interpolate(attr, rast, f, v_clip=v)
+    img = np.asarray(img)[..., 0]
+    ids = np.asarray(rast.tri_id)
+    ys, xs = np.nonzero(ids > 0)
+    # pixel center x in clip coords
+    expect = (xs + 0.5) / W * 2.0 - 1.0
+    np.testing.assert_allclose(img[ys, xs], expect, atol=1e-4)
+
+
+def test_perspective_correctness():
+    # Slanted triangle in w: perspective-correct interp differs from linear
+    v = jnp.array(
+        [
+            [-0.8, -0.8, 0.0, 1.0],
+            [2.4, -0.8 * 3, 0.0, 3.0],  # ndc (0.8, -0.8), w=3
+            [0.0, 0.8, 0.0, 1.0],
+        ]
+    )
+    f = jnp.array([[0, 1, 2]], jnp.int32)
+    rast = rasterize(v, f, (H, W))
+    attr = jnp.array([[0.0], [1.0], [0.0]])
+    img = np.asarray(interpolate(attr, rast, f, v_clip=v))[..., 0]
+    ids = np.asarray(rast.tri_id)
+    # At the screen midpoint of edge v0-v1, perspective-correct value is
+    # w0/(w0+w1) = 1/4, not 1/2.
+    row = int((0.5 * (-0.8 + -0.8) * 0.5 + 0.5) * H)
+    col = W // 2
+    assert ids[row, col] > 0
+    assert abs(img[row, col] - 0.25) < 0.05
+
+
+def test_aa_gradient_moves_silhouette():
+    v, f = clip_quad(half=0.4)
+
+    def coverage(dx):
+        vv = v.at[:, 0].add(dx)
+        rast = rasterize(vv, f, (H, W))
+        alpha = (rast.tri_id > 0).astype(jnp.float32)[..., None]
+        aa = antialias(alpha, rast, vv, f)
+        return aa.sum()
+
+    g = jax.grad(coverage)(0.0)
+    # Moving the quad horizontally shouldn't change area much, but the
+    # gradient must exist and be finite (edges blend on both sides).
+    assert np.isfinite(float(g))
+
+    def area(h_half):
+        vv = jnp.array(
+            [
+                [-h_half, -0.4, 0.5, 1.0],
+                [h_half, -0.4, 0.5, 1.0],
+                [h_half, 0.4, 0.5, 1.0],
+                [-h_half, 0.4, 0.5, 1.0],
+            ]
+        )
+        rast = rasterize(vv, f, (H, W))
+        alpha = (rast.tri_id > 0).astype(jnp.float32)[..., None]
+        aa = antialias(alpha, rast, vv, f)
+        return aa.sum()
+
+    g2 = jax.grad(area)(0.4)
+    # Widening the quad increases covered pixels: d(area)/d(half) ≈ H_px * W/2
+    # covered rows = 0.8*H ≈ 51; d(width_px)/d(half) = W (two edges each W/2)
+    expect = 0.8 * H * W
+    assert g2 > 0.25 * expect, f"AA gradient too small: {g2} vs {expect}"
+    assert g2 < 4.0 * expect
+
+
+def test_bary_derivs_finite():
+    v, f = clip_quad()
+    rast = rasterize(v, f, (H, W))
+    db = np.asarray(bary_screen_derivs(rast, f, v))
+    assert np.isfinite(db).all()
+    ids = np.asarray(rast.tri_id)
+    assert np.abs(db[ids > 0]).max() > 0
+
+
+def test_camera_sphere_render():
+    """Full camera path: perspective + lookat on a tessellated sphere."""
+    # icosphere-ish: lat-long sphere
+    n_lat, n_lon = 16, 24
+    th = np.linspace(0, np.pi, n_lat)
+    ph = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    pts = np.stack(
+        [np.sin(tt) * np.cos(pp), np.cos(tt), np.sin(tt) * np.sin(pp)], -1
+    ).reshape(-1, 3) * 0.35
+    idx = lambda i, j: i * n_lon + (j % n_lon)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            faces.append([idx(i, j), idx(i + 1, j), idx(i + 1, j + 1)])
+            faces.append([idx(i, j), idx(i + 1, j + 1), idx(i, j + 1)])
+    faces = jnp.asarray(np.array(faces, np.int32))
+    pts = jnp.asarray(pts.astype(np.float32))
+
+    proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 10.0)
+    view = gmath.lookat(jnp.array([0.0, 0.0, 2.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    mvp = proj @ view
+    v_clip = gmath.xfm_points(pts, mvp)
+    rast = rasterize(v_clip, faces, (H, W), chunk=256)
+    ids = np.asarray(rast.tri_id)
+    assert ids[H // 2, W // 2] > 0
+    assert ids[1, 1] == 0
+    # roughly circular coverage
+    frac = (ids > 0).mean()
+    r_ndc = 0.35 / (2.0 * np.tan(np.deg2rad(22.5)))
+    expect = np.pi * r_ndc**2 / 4.0  # ndc area is [-1,1]² = 4
+    assert abs(frac - expect) / expect < 0.15
