@@ -1,0 +1,112 @@
+"""Multiresolution hash-grid encoding (instant-NGP style) in pure JAX.
+
+TPU-native replacement for tiny-cuda-nn's ``HashGrid`` encoding used by the
+reference's neural material (``render/mlptexture.py:58-74``): 16 levels,
+2 features/level, 2^19-entry tables, base resolution 16 → 4096.
+
+The forward is a batched gather + trilinear blend; the backward (scatter-add
+into the tables) is XLA's gather-transpose — efficient sorted-segment sums on
+TPU.  The reference's ÷128 gradient-scaling hook on the encoder
+(``render/mlptexture.py:72-74``) is reproduced by the caller with
+``ops.math.scale_grad``.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Spatial-hash primes (Müller et al., instant-ngp; same as tiny-cuda-nn).
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridParams(NamedTuple):
+    tables: jax.Array  # (L, T, F) feature tables
+
+
+class HashGridConfig(NamedTuple):
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    desired_resolution: int = 4096
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_table_size
+
+    @property
+    def per_level_scale(self) -> float:
+        return math.exp(
+            math.log(self.desired_resolution / self.base_resolution)
+            / (self.n_levels - 1)
+        )
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    def level_resolutions(self):
+        s = self.per_level_scale
+        return [
+            int(math.floor(self.base_resolution * (s**l))) for l in range(self.n_levels)
+        ]
+
+
+def init_hashgrid(key: jax.Array, cfg: HashGridConfig, dtype=jnp.float32) -> HashGridParams:
+    """Uniform init in [-1e-4, 1e-4] (tiny-cuda-nn default)."""
+    tables = jax.random.uniform(
+        key,
+        (cfg.n_levels, cfg.table_size, cfg.n_features),
+        dtype=dtype,
+        minval=-1e-4,
+        maxval=1e-4,
+    )
+    return HashGridParams(tables=tables)
+
+
+def _corner_index(ix: jax.Array, iy: jax.Array, iz: jax.Array, res: int, table_size: int):
+    """Grid-cell corner → table index.  Dense indexing when the level grid
+    fits in the table, spatial hash otherwise (instant-ngp §4)."""
+    n_dense = (res + 1) ** 3
+    if n_dense <= table_size:
+        return (ix * (res + 1) + iy) * (res + 1) + iz
+    h = (
+        ix * _PRIMES[0]
+        ^ iy * jnp.uint32(_PRIMES[1]).astype(jnp.int32)
+        ^ iz * jnp.uint32(_PRIMES[2]).astype(jnp.int32)
+    )
+    return jnp.abs(h) % table_size
+
+
+def hashgrid_encode(params: HashGridParams, x: jax.Array, cfg: HashGridConfig) -> jax.Array:
+    """Encode points x ∈ [0,1]^(...,3) → (..., L*F) features."""
+    shp = x.shape[:-1]
+    x = x.reshape(-1, 3)
+    x = jnp.clip(x, 0.0, 1.0)
+
+    outs = []
+    for level, res in enumerate(cfg.level_resolutions()):
+        xs = x * res  # cell coords in [0, res]
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
+        t = xs - x0.astype(xs.dtype)  # fractional, in [0,1]
+
+        table = params.tables[level]
+        feat = 0.0
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    idx = _corner_index(
+                        x0[:, 0] + cx, x0[:, 1] + cy, x0[:, 2] + cz, res, cfg.table_size
+                    )
+                    wgt = (
+                        (t[:, 0] if cx else 1.0 - t[:, 0])
+                        * (t[:, 1] if cy else 1.0 - t[:, 1])
+                        * (t[:, 2] if cz else 1.0 - t[:, 2])
+                    )
+                    feat = feat + table[idx] * wgt[:, None]
+        outs.append(feat)
+    out = jnp.concatenate(outs, axis=-1)
+    return out.reshape(*shp, cfg.out_dim)

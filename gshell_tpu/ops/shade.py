@@ -1,0 +1,349 @@
+"""Monte-Carlo environment-light shading with MIS — the shading hot loop.
+
+TPU-native rebuild of the reference's hottest kernel, the OptiX raygen
+program ``render/optixutils/c_src/envsampling/kernel.cu:463-541``: per pixel,
+``n_samples_x²`` stratified sample pairs of
+  * light importance sampling (row/col CDF inversion), and
+  * BSDF importance sampling (cosine diffuse lobe or GGX-VNDF specular lobe),
+combined with the MIS balance heuristic, each sample shadow-tested.
+
+TPU-first design decisions:
+  * One fused jnp program — forward AND backward (autodiff + rematerialization
+    via ``jax.checkpoint`` around the per-sample body) instead of the
+    reference's hand-fused atomic-add backward (``kernel.cu:424-459``).
+  * Shadow rays: **fixed-step ray marching against the trilinear SDF volume**
+    that the tet lattice already carries (see ``geometry/tet_grid.py``),
+    replacing the OptiX BVH.  The reference ignores shadow boundary gradients
+    (``kernel.cu:97-99``), so visibility is stop-gradiented here too.
+  * Stratification: per-pixel Cranley-Patterson rotation of an n×n stratum
+    grid (replaces the reference's 32k host-side permutation tables,
+    ``optixutils/ops.py:86-91``) — same variance-reduction role, zero host
+    traffic.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..render.light import EnvLight, eval_light, light_pdf, sample_light
+from .bsdf import lambert, pbr_specular
+from .math import build_orthonormal_basis, cosine_sample, dot, luminance, safe_normalize
+
+# ----------------------------------------------------------------------------
+# GGX-VNDF importance sampling (ref kernel.cu:217-331)
+# ----------------------------------------------------------------------------
+
+
+def _eval_ndf_ggx(alpha, cos_theta):
+    a2 = alpha * alpha
+    d = (cos_theta * a2 - cos_theta) * cos_theta + 1.0
+    return a2 / (d * d * math.pi)
+
+
+def _eval_g1_ggx(alpha_sqr, cos_theta):
+    ct2 = cos_theta * cos_theta
+    tan2 = jnp.maximum(1.0 - ct2, 0.0) / jnp.maximum(ct2, 1e-12)
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + alpha_sqr * tan2))
+    return jnp.where(cos_theta > 0, g, 0.0)
+
+
+def _eval_pdf_ggx_vndf(alpha, wo_l, h_l):
+    g1 = _eval_g1_ggx(alpha * alpha, wo_l[..., 2:3])
+    d = _eval_ndf_ggx(alpha, h_l[..., 2:3])
+    return g1 * d * jnp.maximum(0.0, dot(wo_l, h_l)) / jnp.maximum(wo_l[..., 2:3], 1e-6)
+
+
+def _sample_ggx_vndf(alpha, wo_l, ux, uy):
+    """Heitz VNDF sampling (ref kernel.cu:241-266). Returns (h_l, pdf)."""
+    vh = safe_normalize(
+        jnp.concatenate(
+            [alpha * wo_l[..., 0:1], alpha * wo_l[..., 1:2], wo_l[..., 2:3]], -1
+        )
+    )
+    z_axis = jnp.zeros_like(vh).at[..., 2].set(1.0)
+    t1 = jnp.where(
+        vh[..., 2:3] < 0.9999,
+        safe_normalize(jnp.cross(z_axis, vh)),
+        jnp.zeros_like(vh).at[..., 0].set(1.0),
+    )
+    t2 = jnp.cross(vh, t1)
+
+    r = jnp.sqrt(jnp.clip(ux, 0.0, 1.0))[..., None]
+    phi = (2.0 * math.pi) * uy[..., None]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2:3])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.clip(1.0 - p1 * p1, 0.0, 1.0)) + s * p2
+
+    nh = (
+        t1 * p1
+        + t2 * p2
+        + vh * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    )
+    h = safe_normalize(
+        jnp.concatenate(
+            [alpha * nh[..., 0:1], alpha * nh[..., 1:2], jnp.maximum(0.0, nh[..., 2:3])],
+            -1,
+        )
+    )
+    pdf = _eval_pdf_ggx_vndf(alpha, wo_l, h)
+    return h, pdf
+
+
+def _to_local(v, u_ax, v_ax, w_ax):
+    return jnp.concatenate([dot(v, u_ax), dot(v, v_ax), dot(v, w_ax)], axis=-1)
+
+
+def _to_world(v, u_ax, v_ax, w_ax):
+    return u_ax * v[..., 0:1] + v_ax * v[..., 1:2] + w_ax * v[..., 2:3]
+
+
+def ggx_sample(n, wo, u, v, alpha):
+    """Sample a GGX reflection direction (ref kernel.cu:268-291).
+    Returns (wi, pdf)."""
+    w_ax = safe_normalize(n)
+    u_ax, v_ax = build_orthonormal_basis(w_ax)
+    wo_l = safe_normalize(_to_local(wo, u_ax, v_ax, w_ax))
+    cos_no = wo_l[..., 2:3]
+
+    h, pdf = _sample_ggx_vndf(alpha, wo_l, u, v)
+    wo_dot_h = dot(wo_l, h)
+    wi_l = h * wo_dot_h * 2.0 - wo_l
+    pdf = pdf / jnp.maximum(4.0 * wo_dot_h, 1e-6)
+    wi = safe_normalize(_to_world(wi_l, u_ax, v_ax, w_ax))
+    ok = cos_no > 0
+    return jnp.where(ok, wi, 0.0), jnp.where(ok, pdf, 0.0)
+
+
+def ggx_pdf(n, wo, wi, alpha):
+    """PDF of GGX-VNDF sampling for a given wi (ref kernel.cu:301-323)."""
+    w_ax = safe_normalize(n)
+    u_ax, v_ax = build_orthonormal_basis(w_ax)
+    wo_l = _to_local(wo, u_ax, v_ax, w_ax)
+    wi_l = _to_local(wi, u_ax, v_ax, w_ax)
+    m = safe_normalize(wi_l + wo_l)
+    wo_dot_h = dot(m, wo_l)
+    d = _eval_ndf_ggx(alpha, m[..., 2:3])
+    g1 = _eval_g1_ggx(alpha * alpha, wo_l[..., 2:3])
+    pdf = g1 * d * jnp.maximum(0.0, wo_dot_h) / jnp.maximum(wo_l[..., 2:3], 1e-6)
+    pdf = pdf / jnp.maximum(4.0 * wo_dot_h, 1e-6)
+    ok = (wo_l[..., 2:3] > 0) & (wi_l[..., 2:3] > 0)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def _cosine_pdf(n, wi):
+    return jnp.maximum(dot(n, wi), 0.0) / math.pi
+
+
+def bsdf_pdf(p_diffuse, n, wo, wi, alpha):
+    """Mixture pdf of the BSDF sampling strategy (ref kernel.cu:374-397)."""
+    n_dot_l = dot(n, wi)
+    n_dot_v = dot(n, wo)
+    degenerate = jnp.minimum(n_dot_v, n_dot_l) < 1e-6
+    pdf = p_diffuse * _cosine_pdf(n, wi) + (1.0 - p_diffuse) * ggx_pdf(n, wo, wi, alpha)
+    return jnp.where(degenerate, 1.0, pdf)
+
+
+def bsdf_sample(p_diffuse, n, wo, sx, sy, sz, alpha):
+    """Sample the diffuse/specular lobe mixture (ref kernel.cu:334-372).
+    Returns (wi, pdf)."""
+    wi_d, pdf_d = cosine_sample(n, sx, sy)
+    pdf_d = pdf_d[..., None]
+    wi_s, pdf_s = ggx_sample(n, wo, sx, sy, alpha)
+
+    take_diffuse = (sz < p_diffuse[..., 0])[..., None]
+    wi = jnp.where(take_diffuse, wi_d, wi_s)
+    # Full mixture pdf at the chosen direction (ref update_pdf logic).
+    pdf = p_diffuse * _cosine_pdf(n, wi) + (1.0 - p_diffuse) * ggx_pdf(n, wo, wi, alpha)
+    # Degenerate diffuse case (pDiffuse ≈ 0 but chosen): return normal, pdf 1
+    degen = take_diffuse & (p_diffuse < 1e-4)
+    wi = jnp.where(degen, n, wi)
+    pdf = jnp.where(degen, 1.0, pdf)
+    return wi, pdf
+
+
+# ----------------------------------------------------------------------------
+# SDF-volume shadow rays
+# ----------------------------------------------------------------------------
+
+
+def trilinear_sdf(grid: jax.Array, p: jax.Array, aabb_min, aabb_scale) -> jax.Array:
+    """Trilinear SDF sample; grid (R+1, R+1, R+1), p (..., 3) world.
+    Out-of-volume points return -1 (outside ≡ empty)."""
+    r = grid.shape[0] - 1
+    q = (p - aabb_min) * aabb_scale * r  # voxel coords in [0, r]
+    inside = ((q >= 0.0) & (q <= r)).all(axis=-1)
+    q = jnp.clip(q, 0.0, r - 1e-4)
+    q0 = jnp.floor(q).astype(jnp.int32)
+    t = q - q0
+    ix, iy, iz = q0[..., 0], q0[..., 1], q0[..., 2]
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+
+    def g(dx, dy, dz):
+        return grid[
+            jnp.minimum(ix + dx, r), jnp.minimum(iy + dy, r), jnp.minimum(iz + dz, r)
+        ]
+
+    c00 = g(0, 0, 0) * (1 - tz) + g(0, 0, 1) * tz
+    c01 = g(0, 1, 0) * (1 - tz) + g(0, 1, 1) * tz
+    c10 = g(1, 0, 0) * (1 - tz) + g(1, 0, 1) * tz
+    c11 = g(1, 1, 0) * (1 - tz) + g(1, 1, 1) * tz
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    val = c0 * (1 - tx) + c1 * tx
+    return jnp.where(inside, val, -1.0)
+
+
+def make_sdf_visibility(
+    sdf_grid: jax.Array,
+    aabb_min,
+    aabb_size,
+    n_steps: int = 48,
+    t_min_vox: float = 2.0,
+    occlusion_threshold: float = 0.0,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Build a shadow-test: march rays through the (sign-convention: >0 =
+    inside) SDF volume; occluded if any sample is inside the surface.
+
+    Replaces ``optix_build_bvh`` + shadow ``optixTrace``
+    (``optix_wrapper.cpp``, ``kernel.cu:101-118``).  Visibility is binary and
+    detached, matching the reference's no-boundary-gradient choice.
+    """
+    aabb_min = jnp.asarray(aabb_min)
+    aabb_size = jnp.asarray(aabb_size)
+    aabb_scale = 1.0 / aabb_size
+    diag = float(jnp.linalg.norm(aabb_size))
+    r = sdf_grid.shape[0] - 1
+    vox = diag / max(r, 1)
+    t0 = t_min_vox * vox
+    dt = (diag - t0) / n_steps
+    grid = jax.lax.stop_gradient(sdf_grid)
+
+    def visibility(ro: jax.Array, rd: jax.Array) -> jax.Array:
+        def body(i, occ):
+            t = t0 + dt * (i + 0.5)
+            s = trilinear_sdf(grid, ro + rd * t, aabb_min, aabb_scale)
+            return jnp.maximum(occ, s)
+
+        max_sdf = jax.lax.fori_loop(
+            0, n_steps, body, jnp.full(ro.shape[:-1], -jnp.inf)
+        )
+        return (max_sdf <= occlusion_threshold).astype(ro.dtype)[..., None]
+
+    return visibility
+
+
+# ----------------------------------------------------------------------------
+# The shading loop
+# ----------------------------------------------------------------------------
+
+
+class ShadeBuffers(NamedTuple):
+    diffuse: jax.Array  # (P, 3) demodulated diffuse light accumulation
+    specular: jax.Array  # (P, 3) specular accumulation
+
+
+def _pixel_probabilities(kd, ks, wo, nrm):
+    """Lobe selection probability (ref kernel.cu:495-502)."""
+    metallic = ks[..., 2:3]
+    spec_col = 0.04 * (1.0 - metallic) + kd * metallic
+    diffuse_weight = (1.0 - metallic) * luminance(kd)
+    cos_no = dot(wo, nrm)
+    f = spec_col + (1.0 - spec_col) * (1.0 - jnp.clip(cos_no, 1e-4, 1.0 - 1e-4)) ** 5
+    specular_weight = jnp.where(cos_no > 0, luminance(f), 0.0)
+    total = diffuse_weight + specular_weight
+    return jnp.where(total > 0, diffuse_weight / jnp.maximum(total, 1e-12), 1.0)
+
+
+def env_shade(
+    key: jax.Array,
+    mask: jax.Array,
+    ro: jax.Array,
+    gb_pos: jax.Array,
+    gb_normal: jax.Array,
+    view_pos: jax.Array,
+    kd: jax.Array,
+    ks: jax.Array,
+    light: EnvLight,
+    n_samples_x: int = 8,
+    bsdf: str = "pbr",
+    shadow_scale: float = 1.0,
+    visibility_fn: Callable | None = None,
+) -> ShadeBuffers:
+    """Estimate (demodulated diffuse, specular) radiance per pixel.
+
+    Twin of ``optix_env_shade`` (``render/optixutils/ops.py:128``,
+    ``kernel.cu:463-541``).  Inputs are flattened pixel arrays (P, 3)/(P, 1).
+    ``bsdf``: 'pbr' | 'diffuse' | 'white' (diffuse/white skip the specular
+    lobe exactly like params.BSDF 1/2 in the reference kernel).
+    """
+    p = gb_pos.shape[0]
+    n2 = n_samples_x * n_samples_x
+    strata = 1.0 / n_samples_x
+
+    wo = safe_normalize(view_pos - gb_pos)
+    alpha = ks[..., 1:2] * ks[..., 1:2]  # roughness²
+    diffuse_only = bsdf in ("diffuse", "white")
+    p_diffuse = (
+        jnp.ones_like(alpha) if diffuse_only else _pixel_probabilities(kd, ks, wo, gb_normal)
+    )
+
+    # Per-pixel Cranley-Patterson rotations decorrelate strata across pixels.
+    k_rot, k_loop = jax.random.split(key)
+    rot = jax.random.uniform(k_rot, (p, 6))
+
+    def eval_sample(ray_dir, pdf_sum, vis):
+        light_col = eval_light(light, ray_dir)
+        mis = 1.0 / jnp.maximum(pdf_sum, 1e-4)
+        if diffuse_only:
+            diff = lambert(gb_normal, ray_dir)
+            spec = jnp.zeros_like(diff)
+        else:
+            metallic = ks[..., 2:3]
+            spec_col = 0.04 * (1.0 - metallic) + kd * metallic
+            diff = lambert(gb_normal, ray_dir)
+            spec = pbr_specular(
+                spec_col, gb_normal, wo, ray_dir, alpha, min_roughness=0.08
+            )
+        v = vis * shadow_scale + (1.0 - shadow_scale)
+        w = mis * (1.0 / n2) * v
+        return diff * light_col * w, spec * light_col * w
+
+    def shadow(ray_dir):
+        if visibility_fn is None:
+            return jnp.ones_like(ray_dir[..., :1])
+        return jax.lax.stop_gradient(visibility_fn(ro, ray_dir))
+
+    def sample_step(s, accum):
+        d_acc, s_acc = accum
+        ku = jax.random.fold_in(k_loop, s)
+        u = jax.random.uniform(ku, (p, 5))
+        sx_i = s % n_samples_x
+        sy_i = s // n_samples_x
+
+        # --- strategy 1: light importance sampling (ref :512-519)
+        lu = jnp.mod((sx_i + u[:, 0]) * strata + rot[:, 0], 1.0)
+        lv = jnp.mod((sy_i + u[:, 1]) * strata + rot[:, 1], 1.0)
+        ray_dir, pdf_l = sample_light(light, lu, lv)
+        pdf_b = bsdf_pdf(p_diffuse, gb_normal, wo, ray_dir, alpha)
+        d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, shadow(ray_dir))
+
+        # --- strategy 2: BSDF sampling (ref :521-529)
+        bu = jnp.mod((sx_i + u[:, 2]) * strata + rot[:, 2], 1.0)
+        bv = jnp.mod((sy_i + u[:, 3]) * strata + rot[:, 3], 1.0)
+        ray_dir2, pdf_b2 = bsdf_sample(p_diffuse, gb_normal, wo, bu, bv, u[:, 4], alpha)
+        pdf_l2 = light_pdf(light, ray_dir2)
+        d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, shadow(ray_dir2))
+
+        return (d_acc + d1 + d2, s_acc + s1 + s2)
+
+    init = (jnp.zeros((p, 3)), jnp.zeros((p, 3)))
+    body = jax.checkpoint(sample_step, prevent_cse=False)
+    diff_acc, spec_acc = jax.lax.fori_loop(0, n2, body, init)
+
+    m = mask.reshape(p, 1).astype(diff_acc.dtype)
+    return ShadeBuffers(diffuse=diff_acc * m, specular=spec_acc * m)
