@@ -1,0 +1,114 @@
+"""Benchmark: full G-Shell inverse-rendering train step on real TPU hardware.
+
+Measures iterations/sec of the complete reconstruction step — G-Shell tet
+extraction + rasterization + Monte-Carlo PBR shading (with SDF shadows and
+bilateral denoiser) + full backward + 3 optimizer groups — at the reference's
+DeepFashion working point scaled to one chip: tet grid 64, 512×512, batch 2,
+n_samples 8 (``configs/deepfashion_mc.json`` scale).
+
+Baseline: the reference publishes no numbers (BASELINE.md).  We use 2.5 it/s
+as the assumed A100 figure for this configuration (nvdiffrecmc-class
+pipelines at 512²/8spp batch-2 are commonly reported in the 2-3 it/s range);
+the driver target is ≥5× that.  ``vs_baseline`` = measured / 2.5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from gshell_tpu.geometry.geometry import GeometryConfig, GShellGeometry
+    from gshell_tpu.ops.hashgrid import HashGridConfig
+    from gshell_tpu.render.material import MLPTexture3DConfig, default_kd_ks_min_max
+    from gshell_tpu.render.render import RenderFlags
+    from gshell_tpu.train.reconstruct import Reconstructor, TrainConfig
+    from gshell_tpu.ops import math as gmath
+
+    res = 128 if quick else 512
+    grid = 32 if quick else 64
+    n_samples = 2 if quick else 8
+    batch = 1 if quick else 2
+
+    gcfg = GeometryConfig(
+        grid_res=grid,
+        use_sdf_mlp=True,
+        use_eikonal=True,
+        n_eikonal_samples=2048 if quick else 50000,
+        total_iters=5000,
+    )
+    geo = GShellGeometry(gcfg)
+    mat_cfg = MLPTexture3DConfig(
+        channels=6, hash=HashGridConfig(), min_max=default_kd_ks_min_max()
+    )
+    flags = RenderFlags(
+        resolution=(res, res),
+        n_samples=n_samples,
+        bsdf="pbr",
+        use_denoiser=not quick,
+        raster_chunk=512,
+    )
+    tcfg = TrainConfig(batch=batch, use_shadows=True)
+    rec = Reconstructor(geo, mat_cfg, flags, tcfg)
+    state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=100 if quick else 1000)
+
+    # Synthetic target batch (disk silhouette)
+    proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
+    view = gmath.lookat(jnp.array([0.0, 0.0, 2.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    mvp = (proj @ view)[None].repeat(batch, 0)
+    campos = jnp.array([[0.0, 0.0, 2.5]]).repeat(batch, 0)
+    ys, xs = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing="ij")
+    r = jnp.sqrt((xs - res / 2) ** 2 + (ys - res / 2) ** 2)
+    mask = (r < 0.3 * res).astype(jnp.float32)[None, ..., None].repeat(batch, 0)
+    img = jnp.concatenate([jnp.ones((batch, res, res, 3)) * 0.5 * mask, mask], -1)
+    target = {
+        "mvp": mvp,
+        "campos": campos,
+        "img": img,
+        "background": jnp.zeros((batch, res, res, 3)),
+    }
+
+    key = jax.random.PRNGKey(1)
+
+    # Warmup (compile)
+    t0 = time.time()
+    state, m = rec.train_step(state, key, target)
+    jax.block_until_ready(m["total"])
+    compile_time = time.time() - t0
+
+    n_iters = 5 if quick else 20
+    t0 = time.time()
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        state, m = rec.train_step(state, k, target)
+    jax.block_until_ready(m["total"])
+    dt = time.time() - t0
+    ips = n_iters / dt
+
+    baseline_a100 = 2.5  # assumed A100 it/s at this working point (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": f"gshell_train_step_iters_per_sec(res{res},grid{grid},spp{n_samples},b{batch})",
+                "value": round(ips, 4),
+                "unit": "iters/sec",
+                "vs_baseline": round(ips / baseline_a100, 4),
+            }
+        )
+    )
+    print(
+        f"# compile={compile_time:.1f}s loss={float(m['total']):.5f} "
+        f"ntets={int(m['n_valid_tets'])} devices={jax.devices()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

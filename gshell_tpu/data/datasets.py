@@ -1,0 +1,228 @@
+"""Posed-image datasets for inverse rendering.
+
+TPU-native twins of the reference ``dataset/`` package:
+  * :class:`DatasetDeepFashion`  — IDR-style ``cameras_sphere.npz``
+    (``dataset/dataset_deepfashion.py:59-138``)
+  * :class:`DatasetNeRF`         — NeRF-synthetic ``transforms_*.json``
+    (``dataset/dataset_nerf.py:36-94``)
+  * :class:`DatasetMesh`         — on-the-fly synthetic supervision from a
+    reference OBJ (``dataset/dataset_mesh.py:24-124``)
+
+Design: datasets pre-load to host numpy and yield already-batched pytrees of
+jnp arrays ({'mvp', 'campos', 'img', 'background', ...}) — TPU training wants
+whole batches shipped once per step, not a torch DataLoader worker pool.
+The projection-matrix decomposition replaces cv2.decomposeProjectionMatrix
+with a numpy RQ decomposition.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import math as gmath
+
+
+def load_K_Rt_from_P(P: np.ndarray):
+    """Decompose a 3×4 projection into intrinsics + camera-to-world pose.
+    Twin of the IDR helper (``dataset_deepfashion.py:24-46``), using RQ
+    decomposition instead of OpenCV."""
+    M = P[:3, :3]
+    # RQ decomposition via flipped QR
+    rev = np.flipud(np.eye(3))
+    q, r = np.linalg.qr((rev @ M).T)
+    K = rev @ r.T @ rev
+    R = rev @ q.T
+    # enforce positive diagonal of K
+    sign = np.diag(np.sign(np.diag(K)))
+    K = K @ sign
+    R = sign @ R
+    t = np.linalg.lstsq(-M, P[:3, 3], rcond=None)[0]  # camera center
+
+    K = K / K[2, 2]
+    intrinsics = np.eye(4, dtype=np.float32)
+    intrinsics[:3, :3] = K
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R.T
+    pose[:3, 3] = t
+    return intrinsics, pose
+
+
+def _srgb_to_rgb_np(f):
+    return np.where(f <= 0.04045, f / 12.92, ((np.clip(f, 0.04045, None) + 0.055) / 1.055) ** 2.4)
+
+
+def _load_img(path: str) -> np.ndarray:
+    import imageio.v2 as imageio
+
+    img = imageio.imread(path)
+    if img.dtype != np.float32:
+        img = img.astype(np.float32) / 255.0
+        img[..., 0:3] = _srgb_to_rgb_np(img[..., 0:3])
+    if img.shape[-1] == 3:
+        img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
+    return img
+
+
+def _resize_np(img: np.ndarray, res) -> np.ndarray:
+    if img.shape[:2] == tuple(res):
+        return img
+    return np.asarray(
+        jax.image.resize(jnp.asarray(img), (res[0], res[1], img.shape[-1]), "linear")
+    )
+
+
+class PosedImageDataset:
+    """Base: holds (mvp, campos, img) per view; iterates random batches."""
+
+    def __init__(self):
+        self.mvp: np.ndarray = None  # (N, 4, 4)
+        self.campos: np.ndarray = None  # (N, 3)
+        self.imgs: np.ndarray = None  # (N, H, W, 4) premultiplied alpha
+        self.resolution = None
+
+    def __len__(self):
+        return self.mvp.shape[0]
+
+    def batch(self, idx: np.ndarray, background: str = "random", rng: np.random.Generator | None = None) -> dict:
+        """Assemble a training batch (ref ``prepare_batch``,
+        train_gshelltet_deepfashion.py:70-94): mixes the chosen background
+        into the premultiplied-alpha reference image."""
+        rng = rng or np.random.default_rng()
+        img = self.imgs[idx].copy()
+        h, w = img.shape[1:3]
+        if background == "random":
+            bg = rng.random((len(idx), h, w, 3), dtype=np.float32)
+        elif background == "white":
+            bg = np.ones((len(idx), h, w, 3), dtype=np.float32)
+        else:
+            bg = np.zeros((len(idx), h, w, 3), dtype=np.float32)
+        img[..., 0:3] = img[..., 0:3] + bg * (1.0 - img[..., 3:])
+        return {
+            "mvp": jnp.asarray(self.mvp[idx]),
+            "campos": jnp.asarray(self.campos[idx]),
+            "img": jnp.asarray(img),
+            "background": jnp.asarray(bg),
+        }
+
+    def iterate(self, batch_size: int, steps: int, background="random", seed=0) -> Iterator[dict]:
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        for _ in range(steps):
+            idx = rng.integers(0, n, size=batch_size)
+            yield self.batch(idx, background, rng)
+
+
+class DatasetDeepFashion(PosedImageDataset):
+    """ref ``dataset/dataset_deepfashion.py:59-138`` (72 views hardcoded,
+    fovy 60°, premultiplied alpha, y/z flip of the IDR pose)."""
+
+    def __init__(self, base_dir: str, train_res=(512, 512), cam_near_far=(0.1, 1000.0), n_images: int = 72):
+        super().__init__()
+        cams = np.load(os.path.join(base_dir, "cameras_sphere.npz"))
+        proj = np.asarray(
+            gmath.perspective(np.deg2rad(60.0), train_res[1] / train_res[0], *cam_near_far)
+        )
+        flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+
+        mvps, camposs, imgs = [], [], []
+        for i in range(n_images):
+            world_mat = cams[f"world_mat_{i}"].astype(np.float32)
+            scale_mat = cams[f"scale_mat_{i}"].astype(np.float32)
+            P = (world_mat @ scale_mat)[:3, :4]
+            _, pose = load_K_Rt_from_P(P)
+            mv = flip @ np.linalg.inv(pose)
+            campos = np.linalg.inv(mv)[:3, 3]
+            mvps.append(proj @ mv)
+            camposs.append(campos)
+            img = _load_img(os.path.join(base_dir, f"{i:03d}.png"))
+            img = _resize_np(img, train_res)
+            img[..., 0:3] *= img[..., 3:]  # premultiply
+            img[..., 3] = np.sign(img[..., 3])
+            imgs.append(img)
+        self.mvp = np.stack(mvps)
+        self.campos = np.stack(camposs)
+        self.imgs = np.stack(imgs)
+        self.resolution = train_res
+
+
+class DatasetNeRF(PosedImageDataset):
+    """NeRF-synthetic (``transforms_train.json``) — ref ``dataset/dataset_nerf.py``."""
+
+    def __init__(self, cfg_path: str, train_res=(512, 512), cam_near_far=(0.1, 1000.0), examples: Optional[int] = None):
+        super().__init__()
+        base_dir = os.path.dirname(cfg_path)
+        cfg = json.load(open(cfg_path))
+        fovx = cfg["camera_angle_x"]
+        frames = cfg["frames"][:examples] if examples else cfg["frames"]
+        rx = np.asarray(gmath.rotate_x(-np.pi / 2))  # ref :67 convention
+
+        mvps, camposs, imgs = [], [], []
+        for frame in frames:
+            img_path = os.path.join(base_dir, frame["file_path"] + ".png")
+            img = _resize_np(_load_img(img_path), train_res)
+            img[..., 0:3] *= img[..., 3:]
+            img[..., 3] = np.sign(img[..., 3])
+            imgs.append(img)
+
+            # fov_x → fov_y for the target aspect
+            aspect = train_res[1] / train_res[0]
+            fovy = 2.0 * np.arctan(np.tan(fovx / 2.0) / aspect)
+            proj = np.asarray(gmath.perspective(fovy, aspect, *cam_near_far))
+            xform = np.asarray(frame["transform_matrix"], np.float32)
+            mv = np.linalg.inv(rx @ xform)
+            campos = np.linalg.inv(mv)[:3, 3]
+            mvps.append(proj @ mv)
+            camposs.append(campos)
+        self.mvp = np.stack(mvps)
+        self.campos = np.stack(camposs)
+        self.imgs = np.stack(imgs)
+        self.resolution = train_res
+
+
+class DatasetMesh(PosedImageDataset):
+    """Synthetic ground-truth supervision: renders a reference mesh with a
+    random camera + environment light per batch (ref ``dataset/dataset_mesh.py``).
+    Used for the synthetic-reconstruction config and for tests."""
+
+    def __init__(self, mesh, light, mat_params, mat_cfg, flags, n_views: int = 64,
+                 cam_radius: float = 3.0, fovy_deg: float = 45.0, seed: int = 0):
+        super().__init__()
+        from ..render.render import render_mesh
+
+        rng = np.random.default_rng(seed)
+        h, w = flags.resolution
+        mvps, camposs, imgs = [], [], []
+
+        @jax.jit
+        def render_view(key, mvp, campos):
+            nrm = mesh.v_nrm if mesh.v_nrm is not None else None
+            return render_mesh(
+                key, mesh.v_pos, mesh.t_pos_idx, nrm, None,
+                mat_params, mat_cfg, mvp, campos, light, flags,
+                shadow_scale=0.0,
+            )
+
+        proj = gmath.perspective(np.deg2rad(fovy_deg), w / h, 0.1, 1000.0)
+        for i in range(n_views):
+            # random camera on a sphere
+            v = rng.normal(size=3)
+            v = v / np.linalg.norm(v)
+            eye = jnp.asarray(v * cam_radius, jnp.float32)
+            view = gmath.lookat(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+            mvp = proj @ view
+            buf = render_view(jax.random.PRNGKey(i), mvp, eye)
+            img = np.asarray(buf["shaded"])
+            img[..., 0:3] *= img[..., 3:]
+            mvps.append(np.asarray(mvp))
+            camposs.append(np.asarray(eye))
+            imgs.append(img)
+        self.mvp = np.stack(mvps)
+        self.campos = np.stack(camposs)
+        self.imgs = np.stack(imgs)
+        self.resolution = flags.resolution

@@ -1,0 +1,322 @@
+"""Trainable G-Shell geometry: parameters, mesh extraction, and the training
+loss ("tick").
+
+TPU-native twin of ``geometry/gshell_tets_geometry.py`` (GShellTetsGeometry):
+owns the trainable fields (per-vertex SDF or an SDF MLP, mSDF, deformation),
+extracts the open-surface mesh through :class:`GShellTets`, renders it, and
+assembles the full reference loss:
+
+  image MSE+mask loss + mSDF image hinges (ref :280-285),
+  Eikonal on sampled surface points (ref :302-324),
+  mSDF open/close huber regularizers with visibility masking (ref :326-358),
+  annealed SDF sign-consistency BCE (ref :360-362),
+  monochrome-shading / material-smoothness / chroma regularizers (ref :364-376).
+
+Everything returned by :func:`tick` is a scalar inside one jittable graph —
+the whole reference training step (extract → rasterize → shade → losses)
+compiles to a single XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mesh_ops import sample_surface
+from ..render import regularizer as reg
+from ..render.render import RenderFlags, render_mesh
+from .gshell_tets import GShellMesh, GShellTets
+from .mlp import MLPConfig, apply_mlp, init_mlp
+from .tet_grid import TetGrid, build_tet_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometryConfig:
+    grid_res: int = 64
+    scale: float = 1.4  # FLAGS.mesh_scale
+    boxscale: tuple = (1.0, 1.0, 1.0)
+    use_sdf_mlp: bool = True
+    use_msdf_mlp: bool = False
+    mlp: MLPConfig = MLPConfig(n_freq=6, d_hidden=256, n_hidden=6, skip_in=(3,))
+    sphere_init_norm: float = 0.5
+    watertight: bool = False  # True → NeRF-synthetic style closed shapes
+    # loss weights (reference defaults, train_gshelltet_deepfashion.py:532-580)
+    msdf_reg_open_scale: float = 1e-6
+    msdf_reg_close_scale: float = 3e-6
+    sdf_regularizer: float = 0.2
+    eikonal_scale: Optional[float] = None
+    lambda_kd: float = 0.1
+    lambda_ks: float = 0.05
+    lambda_nrm: float = 0.025
+    lambda_chroma: float = 0.0
+    lambda_diffuse: float = 0.15
+    lambda_specular: float = 0.0025
+    use_eikonal: bool = True
+    n_eikonal_samples: int = 50000
+    total_iters: int = 5000
+    # extraction capacities (None → default O(res²) budget)
+    max_tets: Optional[int] = None
+    max_verts: Optional[int] = None
+
+
+class GShellGeometry:
+    """Static state (grid, extractor, config) + functional param API."""
+
+    def __init__(self, cfg: GeometryConfig, grid: TetGrid | None = None):
+        self.cfg = cfg
+        self.grid = grid if grid is not None else build_tet_grid(cfg.grid_res)
+        self.extractor = GShellTets(self.grid, cfg.max_tets, cfg.max_verts)
+        boxscale = np.asarray(cfg.boxscale, np.float32)
+        base = self.grid.verts - self.grid.verts.mean(axis=0)
+        self.verts = jnp.asarray(base * cfg.scale * boxscale)
+        self.boxscale = jnp.asarray(boxscale)
+        # ref gshell_tets_geometry.py:155
+        self.max_displacement = 1.0 / cfg.grid_res * cfg.scale / 2.1
+        self.grid_edges = jnp.asarray(self.grid.edges.astype(np.int32))
+
+    # ---------------- parameters ----------------
+    def init_params(self, key: jax.Array) -> dict:
+        n = self.grid.n_verts
+        k1, k2, k3 = jax.random.split(key, 3)
+        params: dict[str, Any] = {
+            "deform": jnp.zeros((n, 3)),
+        }
+        if self.cfg.use_sdf_mlp:
+            params["sdf_net"] = init_mlp(k1, self.cfg.mlp)
+        else:
+            scaled = self.verts / self.boxscale
+            params["sdf"] = jnp.linalg.norm(scaled, axis=-1) - 0.5
+        if self.cfg.use_msdf_mlp:
+            params["msdf_net"] = init_mlp(k2, self.cfg.mlp)
+        else:
+            params["msdf"] = jnp.clip(
+                jax.random.uniform(k3, (n,)) - 0.01, -1.0, 1.0
+            )
+        return params
+
+    def pretrain_sdf(self, params: dict, steps: int = 1000, lr: float = 1e-3) -> dict:
+        """Sphere-init the SDF MLP (ref gshell_tets_geometry.py:98-105)."""
+        if not self.cfg.use_sdf_mlp:
+            return params
+        import optax
+
+        cfg = self.cfg
+        verts = self.verts
+        scaled = verts / self.boxscale
+        target = jnp.linalg.norm(scaled, axis=-1, keepdims=True) - cfg.sphere_init_norm
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def step(p, s):
+            def loss_fn(p):
+                out = apply_mlp(p, verts, cfg.mlp)
+                return jnp.mean((out - target) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            upd, s = opt.update(g, s)
+            return optax.apply_updates(p, upd), s, loss
+
+        net = params["sdf_net"]
+        state = opt.init(net)
+        for _ in range(steps):
+            net, state, loss = step(net, state)
+        return {**params, "sdf_net": net}
+
+    # ---------------- field evaluation ----------------
+    def fields(self, params: dict):
+        """(v_deformed, sdf, msdf) — ref getMesh (:191-204)."""
+        v_def = self.verts + self.max_displacement * params["deform"]
+        if self.cfg.use_sdf_mlp:
+            sdf = apply_mlp(params["sdf_net"], v_def, self.cfg.mlp)[:, 0]
+        else:
+            sdf = params["sdf"]
+        if self.cfg.use_msdf_mlp:
+            msdf = apply_mlp(params["msdf_net"], v_def, self.cfg.mlp)[:, 0]
+        else:
+            msdf = params["msdf"]
+        return v_def, sdf, msdf
+
+    def get_mesh(self, params: dict) -> GShellMesh:
+        v_def, sdf, msdf = self.fields(params)
+        return self.extractor(
+            v_def, sdf, msdf, watertight_template=True
+        )
+
+    def sdf_lattice(self, params: dict) -> jax.Array:
+        """SDF on the (res+1)³ lattice for shadow-ray marching.  Note the
+        framework sign convention: sdf > 0 ⇔ inside (occ_n, ref
+        gshell_tets.py:250).  Uses undeformed lattice (deformation ≤ half a
+        cell — negligible for shadows)."""
+        _, sdf, _ = self.fields(params)
+        r = self.cfg.grid_res + 1
+        return sdf.reshape(r, r, r)
+
+    def clamp_params(self, params: dict) -> dict:
+        """Post-step clamps (ref clamp_deform :161-165)."""
+        out = dict(params)
+        out["deform"] = jnp.clip(params["deform"], -1.0, 1.0)
+        if "msdf" in params:
+            out["msdf"] = jnp.clip(params["msdf"], -2.0, 2.0)
+        return out
+
+    # ---------------- losses ----------------
+    def tick(
+        self,
+        key: jax.Array,
+        params: dict,
+        mat_params,
+        mat_cfg,
+        light,
+        target: dict,
+        iteration: jax.Array,
+        flags: RenderFlags,
+        image_loss_fn: Callable,
+        visibility_fn=None,
+        shadow_scale=1.0,
+        denoiser_sigma=2.0,
+    ):
+        """One training evaluation → (img_loss, reg_loss, aux).
+
+        ``target``: dict with 'mvp' (B,4,4), 'campos' (B,3), 'img' (B,H,W,4)
+        premultiplied-alpha reference, 'background' (B,H,W,3).
+        """
+        cfg = self.cfg
+        v_def, sdf, msdf = self.fields(params)
+        mesh = self.extractor(v_def, sdf, msdf, watertight_template=True)
+
+        keys = jax.random.split(key, target["mvp"].shape[0] + 2)
+        k_render, k_eik = keys[:-2], keys[-2]
+
+        render_one = lambda k, mvp, campos, bg: render_mesh(
+            k,
+            mesh.verts,
+            mesh.faces,
+            mesh.v_nrm,
+            mesh.msdf,
+            mat_params,
+            mat_cfg,
+            mvp,
+            campos,
+            light,
+            flags,
+            background=bg,
+            visibility_fn=visibility_fn,
+            shadow_scale=shadow_scale,
+            denoiser_sigma=denoiser_sigma,
+        )
+        buffers = jax.vmap(render_one)(
+            k_render, target["mvp"], target["campos"], target["background"]
+        )
+
+        color_ref = target["img"]
+        gt_mask = color_ref[..., 3:]
+
+        # image + mask loss (ref :280-281)
+        img_loss = jnp.mean((buffers["shaded"][..., 3:] - gt_mask) ** 2)
+        img_loss += image_loss_fn(
+            buffers["shaded"][..., 0:3] * gt_mask, color_ref[..., 0:3] * gt_mask
+        )
+
+        # mSDF image hinges (ref :284-285)
+        msdf_img = buffers["msdf_image"]
+        img_loss += 5e-1 * jnp.mean(
+            jnp.abs(jnp.clip(msdf_img, min=0.0) * (gt_mask == 0))
+        )
+        img_loss += 5e-1 * jnp.mean(
+            jnp.abs(jnp.clip(msdf_img, max=0.0) * (gt_mask == 1) - 1.0)
+        )
+
+        # Eikonal (ref :302-324)
+        if cfg.use_sdf_mlp and cfg.use_eikonal:
+            pts = sample_surface(
+                k_eik,
+                jax.lax.stop_gradient(mesh.verts),
+                mesh.faces,
+                cfg.n_eikonal_samples,
+                face_mask=mesh.face_valid,
+            )
+            if cfg.eikonal_scale is None:
+                eik_coeff = jnp.where(
+                    iteration < 500, 3e-1, jnp.where(iteration < 2000, 1e-1, 1e-2)
+                )
+            else:
+                eik_coeff = cfg.eikonal_scale
+
+            def sdf_at(p):
+                return apply_mlp(params["sdf_net"], p[None], cfg.mlp)[0, 0]
+
+            grads = jax.vmap(jax.grad(sdf_at))(pts)
+            eik_loss = eik_coeff * jnp.mean(
+                (jnp.sqrt(jnp.clip(jnp.sum(grads**2, -1), min=1e-12)) - 1.0) ** 2
+            )
+        else:
+            eik_loss = 0.0
+
+        # mSDF open/close regularizers (ref :326-358)
+        mesh_msdf_regscale = (64.0 / cfg.grid_res) ** 3
+        eps = 1e-3
+
+        def huber_sum(x, tgt, delta=1.0):
+            d = jnp.abs(x - tgt)
+            return jnp.sum(jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta)))
+
+        msdf_reg = 0.0
+        if cfg.msdf_reg_open_scale > 0:
+            msdf_reg += (
+                cfg.msdf_reg_open_scale
+                * mesh_msdf_regscale
+                * huber_sum(jnp.clip(mesh.msdf, min=-eps), -eps)
+            )
+        if cfg.msdf_reg_close_scale != 0:
+            vis_any = jnp.any(buffers["visible_vert_mask"], axis=0)
+            nwt = mesh.n_verts_watertight
+            vis_boundary = jax.lax.stop_gradient(vis_any[nwt:])
+            bm = mesh.msdf_boundary
+            d = jnp.abs(jnp.clip(bm, max=eps) - eps)
+            h = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+            msdf_reg += (
+                cfg.msdf_reg_close_scale
+                * mesh_msdf_regscale
+                * jnp.sum(h * vis_boundary)
+            )
+
+        # SDF sign-consistency BCE, annealed (ref :360-362)
+        t_iter = iteration / cfg.total_iters
+        sdf_weight = cfg.sdf_regularizer - (cfg.sdf_regularizer - 0.01) * jnp.minimum(
+            1.0, 4.0 * t_iter
+        )
+        sdf_reg = reg.sdf_reg_loss(sdf, self.grid_edges) * sdf_weight
+
+        # Shading regularizers (ref :364-376)
+        shading_reg = 0.0
+        if "diffuse_light" in buffers:
+            shading_reg += reg.shading_loss(
+                buffers["diffuse_light"],
+                buffers["specular_light"],
+                color_ref,
+                cfg.lambda_diffuse,
+                cfg.lambda_specular,
+            )
+        shading_reg += reg.material_smoothness_grad(
+            buffers["kd_grad"],
+            buffers["ks_grad"],
+            buffers["normal_grad"],
+            lambda_kd=cfg.lambda_kd,
+            lambda_ks=cfg.lambda_ks,
+            lambda_nrm=cfg.lambda_nrm,
+        )
+        shading_reg += reg.chroma_loss(buffers["kd"], color_ref, cfg.lambda_chroma)
+
+        reg_loss = sdf_reg + eik_loss + msdf_reg + shading_reg
+        aux = {
+            "n_valid_tets": mesh.n_valid_tets,
+            "n_crossing_edges": mesh.n_crossing_edges,
+            "sdf_reg": sdf_reg,
+            "eik_loss": eik_loss,
+            "msdf_reg": msdf_reg,
+            "shading_reg": shading_reg,
+        }
+        return img_loss, reg_loss, aux

@@ -1,0 +1,381 @@
+"""G-Shell FlexiCubes: differentiable Dual Marching Cubes + mSDF cutting
+(JAX, static shapes).
+
+TPU-native rebuild of ``geometry/gshell_flexicubes.py:16-672``
+(GShellFlexiCubes): per-cube weights α(8), β(12), γ(1) steer dual-vertex
+placement and quad splitting; a second scalar field ν (mSDF) cuts the
+extracted surface open.  Pipeline parity:
+
+  _identify_surf_cubes (ref :334) → _get_case_id w/ C16-C19 ambiguity
+  (ref :266) → dual vertices as β-weighted means of α-weighted edge
+  zero-crossings (ref _compute_vd :387) + L_dev MAD regularizer (ref :232) →
+  quad assembly from the 4 cubes around each crossing edge + γ-weighted
+  4-triangle split (training mode, ref _triangulate :487) → mSDF cutting of
+  each triangle (ref _triangulate_msdf :554).
+
+Static-shape strategy (as in ``gshell_tets.py``): fixed-capacity compaction
+of surface cubes / crossing edges via ``jnp.nonzero(size=...)``, analytic
+4-cube edge adjacency from :mod:`cube_grid` instead of sort-based grouping,
+and slot-addressed vertex/face buffers with validity masks.
+
+Sign conventions follow the reference exactly: occupancy is ``s < 0``
+(ref :339 — opposite to marching tets!), mSDF occupancy is ``ν ≥ 0``
+(ref :556), winding flips when s at the edge's low corner is > 0 (ref :501).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mesh_ops import auto_normals
+from . import flexicubes_tables as ft
+from .cube_grid import CubeGrid, default_cube_capacities
+
+WEIGHT_SCALE = 0.99
+
+
+def _edge_to_vd_table() -> np.ndarray:
+    """(256, 12) local-edge → dual-vertex group index (or -1)."""
+    out = np.full((256, 12), -1, np.int32)
+    for c in range(256):
+        for k in range(4):
+            for e in ft.DMC_TABLE[c, k]:
+                if e >= 0:
+                    out[c, e] = k
+    return out
+
+
+class FlexiMesh(NamedTuple):
+    """Vertex layout: [0, 4·MC) dual verts | [4·MC] sentinel |
+    [4·MC+1, +ME) quad centers | then 3·(4·ME) boundary verts."""
+
+    verts: jax.Array
+    faces: jax.Array  # (8·ME, 3) — cut faces
+    face_valid: jax.Array
+    v_nrm: jax.Array
+    msdf: jax.Array  # per-vertex ν (stop-vgrad)
+    msdf_boundary: jax.Array  # (12·ME,)
+    faces_wt: jax.Array  # (4·ME, 3) pre-cut (watertight) faces
+    face_wt_valid: jax.Array
+    n_verts_watertight: int
+    l_dev: jax.Array  # () mean MAD regularizer (ref _compute_reg_loss)
+    n_surf_cubes: jax.Array
+    n_crossing_edges: jax.Array
+
+
+class GShellFlexiCubes:
+    def __init__(self, grid: CubeGrid, max_cubes: int | None = None, max_edges: int | None = None):
+        if max_cubes is None or max_edges is None:
+            d_c, d_e = default_cube_capacities(grid.res, grid.n_cubes, grid.n_edges)
+            max_cubes = max_cubes or d_c
+            max_edges = max_edges or d_e
+        self.grid = grid
+        self.max_cubes = int(max_cubes)
+        self.max_edges = int(max_edges)
+
+        n, c, e = grid.n_verts, grid.n_cubes, grid.n_edges
+        self.cubes_pad = jnp.asarray(
+            np.concatenate([grid.cubes, np.full((1, 8), n, np.int32)])
+        )
+        self.cube_edges_pad = jnp.asarray(
+            np.concatenate([grid.cube_edges, np.full((1, 12), e, np.int32)])
+        )
+        self.edges_pad = jnp.asarray(
+            np.concatenate([grid.edges, np.full((1, 2), n, np.int32)])
+        )
+        adj_c = np.where(grid.edge_adj_cubes < 0, c, grid.edge_adj_cubes)
+        self.edge_adj_cubes_pad = jnp.asarray(
+            np.concatenate([adj_c, np.full((1, 4), c, np.int32)])
+        )
+        self.edge_adj_local_pad = jnp.asarray(
+            np.concatenate([grid.edge_adj_local, np.zeros((1, 4), np.int32)])
+        )
+        self.edge_interior_pad = jnp.asarray(
+            np.concatenate([grid.edge_interior, [False]])
+        )
+
+        self.dmc_table = jnp.asarray(ft.DMC_TABLE)  # (256, 4, 7)
+        self.check_table = jnp.asarray(ft.CHECK_TABLE)
+        self.edge_to_vd = jnp.asarray(_edge_to_vd_table())
+        self.cube_edge_corners = jnp.asarray(ft.CUBE_EDGES)  # (12, 2) local corners
+        self.gflex_table = jnp.asarray(ft.GFLEX_CONFIGURATION_TABLE)
+        self.gflex_num = jnp.asarray(ft.GFLEX_NUM_TRIANGLES_TABLE)
+
+        # cube id → lattice coords (for case-id ambiguity neighbor lookup)
+        r = grid.res
+        ids = np.arange(c, dtype=np.int32)
+        self.cube_coords = jnp.asarray(
+            np.stack([ids // (r * r), (ids // r) % r, ids % r], -1)
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        x: jax.Array,  # (N, 3) deformed lattice positions
+        s: jax.Array,  # (N,) SDF (inside < 0)
+        nu: jax.Array,  # (N,) mSDF
+        beta: jax.Array | None = None,  # (C, 12) raw weights
+        alpha: jax.Array | None = None,  # (C, 8)
+        gamma: jax.Array | None = None,  # (C,)
+        training: bool = True,
+    ) -> FlexiMesh:
+        g = self.grid
+        N, C, E = g.n_verts, g.n_cubes, g.n_edges
+        MC, ME = self.max_cubes, self.max_edges
+        r = g.res
+
+        x_p = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)])
+        s_p = jnp.concatenate([s, jnp.ones((1,), s.dtype)])  # sentinel outside
+        nu_p = jnp.concatenate([nu, -jnp.ones((1,), nu.dtype)])
+        occ_p = s_p < 0  # ref :339
+
+        # ---- weights (ref _normalize_weights :242-263) -----------------
+        beta_n = jnp.tanh(beta) * WEIGHT_SCALE + 1.0 if beta is not None else jnp.ones((C, 12), x.dtype)
+        alpha_n = jnp.tanh(alpha) * WEIGHT_SCALE + 1.0 if alpha is not None else jnp.ones((C, 8), x.dtype)
+        gamma_n = (
+            jax.nn.sigmoid(gamma) * WEIGHT_SCALE + (1 - WEIGHT_SCALE) / 2
+            if gamma is not None
+            else jnp.ones((C,), x.dtype)
+        )
+        beta_p = jnp.concatenate([beta_n, jnp.ones((1, 12), x.dtype)])
+        alpha_p = jnp.concatenate([alpha_n, jnp.ones((1, 8), x.dtype)])
+        gamma_p = jnp.concatenate([gamma_n, jnp.ones((1,), x.dtype)])
+
+        # ---- surface cubes + case ids (ref :334-343, :266-306) --------
+        occ8_all = occ_p[self.cubes_pad[:-1]]  # (C, 8)
+        occ_sum = occ8_all.sum(-1)
+        surf = (occ_sum > 0) & (occ_sum < 8)
+        n_surf = surf.sum().astype(jnp.int32)
+
+        pow2 = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.int32)
+        case_all = (occ8_all.astype(jnp.int32) * pow2).sum(-1)  # (C,)
+        # C16/C19 resolution on the full lattice: both this cube and the
+        # face-adjacent cube must be flagged; then both invert (complement).
+        chk = self.check_table[case_all]  # (C, 5)
+        flagged = (chk[:, 0] == 1) & surf
+        coords = self.cube_coords  # (C, 3)
+        adj = coords + chk[:, 1:4]
+        in_rng = ((adj >= 0) & (adj < r)).all(-1)
+        adj_id = jnp.clip((adj[:, 0] * r + adj[:, 1]) * r + adj[:, 2], 0, C - 1)
+        adj_flagged = flagged[adj_id]
+        invert = flagged & in_rng & adj_flagged
+        case_all = jnp.where(invert, chk[:, 4], case_all)
+
+        (cube_slots,) = jnp.nonzero(surf, size=MC, fill_value=C)
+        cube_valid = cube_slots < C
+        slot_of_cube = jnp.full((C + 1,), MC, jnp.int32)
+        slot_of_cube = slot_of_cube.at[cube_slots].set(
+            jnp.arange(MC, dtype=jnp.int32), mode="drop"
+        )
+        slot_of_cube = slot_of_cube.at[C].set(MC)
+
+        case_pad = jnp.concatenate([case_all, jnp.zeros((1,), case_all.dtype)])
+        case_s = case_pad[cube_slots]  # (MC,) — sentinel cubes → case 0
+        case_s = jnp.where(cube_valid, case_s, 0)
+
+        # ---- crossing edges (ref _identify_surf_edges) -----------------
+        e_occ = occ_p[self.edges_pad[:-1]]
+        crossing = e_occ[:, 0] != e_occ[:, 1]
+        n_cross = crossing.sum().astype(jnp.int32)
+        quad_ok_all = crossing & self.edge_interior_pad[:-1]
+        (edge_slots,) = jnp.nonzero(quad_ok_all, size=ME, fill_value=E)
+        edge_valid = edge_slots < E
+
+        # ---- dual vertices (ref _compute_vd :387-485) -------------------
+        cube8 = self.cubes_pad[cube_slots]  # (MC, 8)
+        ce12 = self.cube_edges_pad[cube_slots]  # (MC, 12) global edge ids
+        a8 = alpha_p[cube_slots]  # (MC, 8)
+        b12 = beta_p[cube_slots]
+        gam = gamma_p[cube_slots]
+
+        # per (cube, 12): edge endpoints (global vertex ids) + α at corners
+        ecorn = self.cube_edge_corners  # (12, 2) local
+        v_a = jnp.take_along_axis(cube8, ecorn[None, :, 0].repeat(MC, 0), axis=1)
+        v_b = jnp.take_along_axis(cube8, ecorn[None, :, 1].repeat(MC, 0), axis=1)
+        al_a = jnp.take_along_axis(a8, ecorn[None, :, 0].repeat(MC, 0), axis=1)
+        al_b = jnp.take_along_axis(a8, ecorn[None, :, 1].repeat(MC, 0), axis=1)
+
+        xa, xb = x_p[v_a], x_p[v_b]  # (MC, 12, 3)
+        sa, sb = s_p[v_a], s_p[v_b]  # (MC, 12)
+        na, nb = nu_p[v_a], nu_p[v_b]
+
+        # α-weighted linear interp (ref _linear_interp with coeff = s·α):
+        # weights [w_b, -w_a]/(w_b - w_a) applied to [x_a, x_b]
+        wa_c = sa * al_a
+        wb_c = sb * al_b
+        denom = wb_c - wa_c
+        edge_cross = occ_p[v_a] != occ_p[v_b]  # (MC, 12)
+        dok = edge_cross & (jnp.abs(denom) > 1e-8)
+        denom_s = jnp.where(dok, denom, 1.0)
+        cA = jnp.where(dok, wb_c / denom_s, 0.5)
+        cB = jnp.where(dok, -wa_c / denom_s, 0.5)
+        ue = xa * cA[..., None] + xb * cB[..., None]  # (MC, 12, 3)
+        nu_e = na * cA + nb * cB
+        cA_sg, cB_sg = jax.lax.stop_gradient(cA), jax.lax.stop_gradient(cB)
+        nu_e_sg = na * cA_sg + nb * cB_sg
+
+        # group memberships: (MC, 4, 7) local edge ids, -1 padded
+        groups = self.dmc_table[case_s]  # (MC, 4, 7)
+        gmask = (groups >= 0) & cube_valid[:, None, None]
+        gidx = jnp.clip(groups, 0, 11)
+
+        mci = jnp.arange(MC)[:, None, None]
+        ue_g = ue[mci, gidx]  # (MC, 4, 7, 3)
+        nu_g = nu_e[mci, gidx]  # (MC, 4, 7)
+        nu_sg_g = nu_e_sg[mci, gidx]
+        beta_g = b12[mci, gidx] * gmask  # (MC, 4, 7)
+
+        beta_sum = jnp.maximum(beta_g.sum(-1, keepdims=True), 1e-12)  # (MC, 4, 1)
+        vd = (ue_g * beta_g[..., None]).sum(2) / beta_sum  # (MC, 4, 3)
+        nu_d = (nu_g * beta_g).sum(-1) / beta_sum[..., 0]  # (MC, 4)
+        beta_g_sg = jax.lax.stop_gradient(beta_g)
+        beta_sum_sg = jax.lax.stop_gradient(beta_sum)
+        nu_d_sg = (nu_sg_g * beta_g_sg).sum(-1) / beta_sum_sg[..., 0]
+
+        vd_valid = gmask.any(-1)  # (MC, 4)
+        vd = jnp.where(vd_valid[..., None], vd, 0.0)
+        nu_d = jnp.where(vd_valid, nu_d, 0.0)
+        nu_d_sg = jnp.where(vd_valid, nu_d_sg, 0.0)
+
+        # L_dev: mean absolute deviation of |ue − vd| within each group (ref :232-240)
+        dist = jnp.linalg.norm(ue_g - vd[:, :, None, :], axis=-1)  # (MC, 4, 7)
+        cnt = jnp.maximum(gmask.sum(-1, keepdims=True), 1)
+        mean_l2 = (dist * gmask).sum(-1, keepdims=True) / cnt
+        mad = jnp.abs(dist - mean_l2) * gmask
+        l_dev = mad.sum() / jnp.maximum(gmask.sum(), 1)
+
+        # ---- quad assembly (ref _triangulate :487-552) -------------------
+        adj_cubes = self.edge_adj_cubes_pad[edge_slots]  # (ME, 4) cube ids
+        adj_local = self.edge_adj_local_pad[edge_slots]  # (ME, 4)
+        adj_slot = slot_of_cube[adj_cubes]  # (ME, 4) ∈ [0, MC]
+        quad_good = edge_valid & (adj_slot < MC).all(-1)
+        adj_slot_c = jnp.clip(adj_slot, 0, MC - 1)
+        adj_case = case_s[adj_slot_c]  # (ME, 4)
+        k_of = self.edge_to_vd[adj_case, adj_local]  # (ME, 4) ∈ [-1, 4)
+        quad_good = quad_good & (k_of >= 0).all(-1)
+        quad_vd = adj_slot_c * 4 + jnp.clip(k_of, 0, 3)  # (ME, 4) dual-vert ids
+
+        # winding (ref :499-503): flip when s at edge endpoint 0 > 0
+        ev = self.edges_pad[edge_slots]
+        s_lo = s_p[ev[:, 0]]
+        flip = s_lo > 0
+        q_f = quad_vd[:, jnp.asarray([0, 1, 3, 2])]
+        q_r = quad_vd[:, jnp.asarray([2, 3, 1, 0])]
+        quad = jnp.where(flip[:, None], q_f, q_r)  # (ME, 4)
+
+        n_vd = 4 * MC
+        SENT = n_vd  # sentinel zero vertex
+        center0 = n_vd + 1  # quad-center block start
+
+        vd_flat = vd.reshape(n_vd, 3)
+        nu_flat = nu_d.reshape(n_vd)
+        nu_sg_flat = nu_d_sg.reshape(n_vd)
+        gam_vd = jnp.repeat(gam, 4).reshape(n_vd)
+
+        # γ-weighted center split (training mode, ref :523-551)
+        qv = vd_flat[quad]  # (ME, 4, 3)
+        qnu = nu_flat[quad]
+        qnu_sg = nu_sg_flat[quad]
+        qg = gam_vd[quad]  # (ME, 4)
+        g02 = qg[:, 0] * qg[:, 2]
+        g13 = qg[:, 1] * qg[:, 3]
+        wsum = g02 + g13 + 1e-8
+        vd02 = (qv[:, 0] + qv[:, 2]) / 2
+        vd13 = (qv[:, 1] + qv[:, 3]) / 2
+        center = (vd02 * g02[:, None] + vd13 * g13[:, None]) / wsum[:, None]
+        nu02 = (qnu[:, 0] + qnu[:, 2]) / 2
+        nu13 = (qnu[:, 1] + qnu[:, 3]) / 2
+        nu_center = (nu02 * g02 + nu13 * g13) / wsum
+        g02_sg, g13_sg, wsum_sg = map(jax.lax.stop_gradient, (g02, g13, wsum))
+        nu02_sg = (qnu_sg[:, 0] + qnu_sg[:, 2]) / 2
+        nu13_sg = (qnu_sg[:, 1] + qnu_sg[:, 3]) / 2
+        nu_center_sg = (nu02_sg * g02_sg + nu13_sg * g13_sg) / wsum_sg
+        center = jnp.where(quad_good[:, None], center, 0.0)
+        nu_center = jnp.where(quad_good, nu_center, 0.0)
+        nu_center_sg = jnp.where(quad_good, nu_center_sg, 0.0)
+
+        c_ids = center0 + jnp.arange(ME, dtype=jnp.int32)
+        # 4 triangles per quad: (q_j, q_{j+1}, center)
+        nxt = jnp.asarray([1, 2, 3, 0])
+        faces_wt = jnp.stack(
+            [quad, quad[:, nxt], jnp.broadcast_to(c_ids[:, None], (ME, 4))], axis=-1
+        ).reshape(ME * 4, 3)
+        face_wt_valid = jnp.repeat(quad_good, 4)
+        faces_wt = jnp.where(face_wt_valid[:, None], faces_wt, SENT)
+
+        # watertight vertex buffer: [vd | sentinel | centers]
+        verts_wt = jnp.concatenate(
+            [vd_flat, jnp.zeros((1, 3), x.dtype), center], axis=0
+        )
+        nu_wt = jnp.concatenate([nu_flat, jnp.zeros((1,), x.dtype), nu_center])
+        nu_wt_sg = jnp.concatenate(
+            [nu_sg_flat, jnp.zeros((1,), x.dtype), nu_center_sg]
+        )
+
+        # ---- mSDF cutting (ref _triangulate_msdf :554-591) ---------------
+        fv = faces_wt  # (F, 3), F = 4·ME
+        F = fv.shape[0]
+        mocc = (nu_wt[fv] >= 0.0).astype(jnp.int32)  # (F, 3); ref :556 uses ≥
+        msum = mocc.sum(-1)
+        cfg_idx = mocc[:, 0] * 4 + mocc[:, 1] * 2 + mocc[:, 2]  # flipped bits
+
+        # boundary verts on face cycle edges (0,1),(1,2),(2,0)
+        cyc = jnp.asarray([[0, 1], [1, 2], [2, 0]])
+        u_id = fv[:, cyc[:, 0]]  # (F, 3)
+        w_id = fv[:, cyc[:, 1]]
+        mu_, mw_ = nu_wt[u_id], nu_wt[w_id]
+        mu_sg_, mw_sg_ = nu_wt_sg[u_id], nu_wt_sg[w_id]
+        den = mu_ - mw_
+        cut_ok = (jnp.abs(den) > 1e-8) & face_wt_valid[:, None]
+        den_s = jnp.where(cut_ok, den, 1.0)
+        bu = jnp.where(cut_ok, -mw_ / den_s, 0.0)
+        bw = jnp.where(cut_ok, mu_ / den_s, 0.0)
+        b_verts = verts_wt[u_id] * bu[..., None] + verts_wt[w_id] * bw[..., None]
+        bu_sg, bw_sg = jax.lax.stop_gradient(bu), jax.lax.stop_gradient(bw)
+        b_nu = mu_sg_ * bu_sg + mw_sg_ * bw_sg
+        b_verts = jnp.where(cut_ok[..., None], b_verts, 0.0)
+        b_nu = jnp.where(cut_ok, b_nu, 0.0)
+
+        b0 = center0 + ME  # boundary block start
+        b_gid = b0 + jnp.arange(F * 3, dtype=jnp.int32).reshape(F, 3)
+        idx_map6 = jnp.concatenate([fv, b_gid], axis=1)  # (F, 6)
+
+        n_cut = self.gflex_num[cfg_idx]  # (F,)
+        trow = jnp.clip(self.gflex_table[cfg_idx], 0, 5)  # (F, 6)
+        cut_faces = jnp.take_along_axis(idx_map6, trow, axis=1).reshape(F, 2, 3)
+
+        is_uncut = (msum == 3) & face_wt_valid
+        is_cut = (msum > 0) & (msum < 3) & face_wt_valid
+        f2 = jnp.arange(2)[None, :]
+        cut_valid = is_cut[:, None] & (f2 < n_cut[:, None])
+        out0 = jnp.where(is_uncut[:, None], fv, cut_faces[:, 0])
+        out0_valid = is_uncut | cut_valid[:, 0]
+        out1 = cut_faces[:, 1]
+        out1_valid = cut_valid[:, 1] & ~is_uncut
+        faces_open = jnp.stack([out0, out1], axis=1)
+        face_open_valid = jnp.stack([out0_valid, out1_valid], axis=1)
+        faces_open = jnp.where(face_open_valid[..., None], faces_open, SENT)
+        faces_open = faces_open.reshape(F * 2, 3)
+        face_open_valid = face_open_valid.reshape(F * 2)
+
+        verts_aug = jnp.concatenate([verts_wt, b_verts.reshape(-1, 3)], axis=0)
+        nu_aug_sg = jnp.concatenate([nu_wt_sg, b_nu.reshape(-1)])
+        v_nrm = auto_normals(verts_aug, faces_open, face_open_valid)
+
+        return FlexiMesh(
+            verts=verts_aug,
+            faces=faces_open,
+            face_valid=face_open_valid,
+            v_nrm=v_nrm,
+            msdf=nu_aug_sg,
+            msdf_boundary=b_nu.reshape(-1),
+            faces_wt=faces_wt,
+            face_wt_valid=face_wt_valid,
+            n_verts_watertight=center0 + ME,
+            l_dev=l_dev,
+            n_surf_cubes=n_surf,
+            n_crossing_edges=n_cross,
+        )

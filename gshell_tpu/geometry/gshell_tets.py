@@ -68,9 +68,17 @@ class GShellMesh(NamedTuple):
 
 
 def _safe_inv_denominator(d: jax.Array, valid: jax.Array) -> jax.Array:
-    """Reference's denominator guard (ref :281-283) with NaN-safe gradients."""
+    """Reference's denominator guard (ref :281-283) with NaN-safe gradients.
+
+    The floor is 1e-8 (not the reference's 1e-12): the backward of 1/d is
+    −1/d², and 1e-12 floors let f32 gradients overflow to inf once crossing
+    edges have both SDF endpoints ≈ 0 (which sharpening *encourages*).  At
+    1e-8 the worst-case weight gradient is ~1e8 — large but finite, and Adam
+    normalizes it away.  Geometrically the placements are identical: when
+    both endpoints are within 1e-8 of the level set, any point on the edge
+    is on the surface."""
     d = jnp.where(valid, d, 1.0)
-    mag = jnp.maximum(jnp.abs(d), 1e-12)
+    mag = jnp.maximum(jnp.abs(d), 1e-8)
     sign = jnp.where(d >= 0, 1.0, -1.0)
     return sign / mag
 
@@ -239,7 +247,9 @@ class GShellTets:
 
         sign_ok = jnp.abs(jnp.sign(mu) + jnp.sign(mw)) != 2  # opposite/zero signs
         denom = mu - mw
-        cut_ok = sign_ok & (jnp.abs(denom) > 1e-12) & tet_valid[:, None]
+        # 1e-8 floor (vs ref 1e-12) — see _safe_inv_denominator: the backward
+        # of the cut coefficients is O(1/denom²) and must stay finite in f32.
+        cut_ok = sign_ok & (jnp.abs(denom) > 1e-8) & tet_valid[:, None]
         denom_safe = jnp.where(cut_ok, denom, 1.0)
         bu = jnp.where(cut_ok, -mw / denom_safe, 0.0)  # weight of corner j
         bw = jnp.where(cut_ok, mu / denom_safe, 0.0)  # weight of corner j+1

@@ -1,0 +1,245 @@
+"""3D U-Net score network with dual (feature-grid, occ-grid) heads.
+
+TPU-native twin of the reference G-MeshDiffusion score model
+``GMeshDiffusion/lib/diffusion/models/unet3d_occgrid.py:37-203`` +
+``models/layers.py`` (ResBlock, AttnBlock, Up/Downsample, GroupNormFloat32):
+
+  * dual input: C-channel D³ feature grid + 1-channel (2D)³ occ grid folded
+    in through a stride-2 conv (ref :92, :168), with learned mask embeddings
+    (mask_layer / occ_mask_conv);
+  * 6 levels, ch_mult (1,2,2,4,4,4), ResBlock / AttnResBlock per the config
+    block-type lists, DDPM-style timestep embedding;
+  * dual output heads: 5×5 conv (zero-init) for the grid + ×2
+    ConvTranspose for the occ grid (ref :137-140, :196-201);
+  * outputs masked by feature/occ masks.
+
+TPU-first: channels-last (NDHWC) conv layout, bf16-friendly (GroupNorm kept
+f32 as in the reference's GroupNormFloat32), attention via a single einsum
+softmax over the ≤16³ bottleneck tokens.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int, max_positions: int = 10000):
+    """DDPM sinusoidal embedding (ref layers.py:142-157)."""
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def ddpm_init(scale: float = 1.0):
+    """DDPM default_init: variance_scaling(scale, fan_avg, uniform)."""
+    scale = 1e-10 if scale == 0 else scale
+    return nn.initializers.variance_scaling(scale, "fan_avg", "uniform")
+
+
+class GroupNormF32(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        g = math.gcd(self.num_groups, x.shape[-1])
+        x = nn.GroupNorm(num_groups=g, epsilon=self.eps)(x)
+        return x.astype(dtype)
+
+
+class ResBlock(nn.Module):
+    """DDPM ResNet block (ref layers.py:230-...)."""
+
+    out_ch: Optional[int] = None
+    dropout: float = 0.1
+    use_attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, temb=None, train: bool = False):
+        in_ch = x.shape[-1]
+        out_ch = self.out_ch or in_ch
+        h = nn.silu(GroupNormF32()(x))
+        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ddpm_init())(h)
+        if temb is not None:
+            h = h + nn.Dense(out_ch, kernel_init=ddpm_init())(nn.silu(temb))[
+                :, None, None, None, :
+            ]
+        h = nn.silu(GroupNormF32()(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ddpm_init(0.0))(h)
+        if in_ch != out_ch:
+            x = nn.Conv(out_ch, (1, 1, 1), kernel_init=ddpm_init())(x)
+        h = x + h
+        if self.use_attn:
+            h = AttnBlock()(h)
+        return h
+
+
+class AttnBlock(nn.Module):
+    """Global 3D self-attention over voxels (ref layers.py:158-191).
+    The reference materializes the (DHW)² softmax einsum; here it is a single
+    fused dot-product attention over flattened tokens — XLA maps it onto the
+    MXU (SURVEY.md §5.7)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        y = GroupNormF32()(x)
+        q = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init())(y).reshape(b, -1, c)
+        k = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init())(y).reshape(b, -1, c)
+        v = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init())(y).reshape(b, -1, c)
+        attn = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
+        attn = jax.nn.softmax(attn * (c ** -0.5), axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v.astype(jnp.float32)).astype(x.dtype)
+        out = out.reshape(b, d, h, w, c)
+        out = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init(0.0))(out)
+        return x + out
+
+
+class Downsample(nn.Module):
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        if self.with_conv:
+            # DDPM 'SAME' emulation: pad (0,1) on each spatial dim (ref layers.py:212-218)
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
+            return nn.Conv(c, (3, 3, 3), strides=2, padding="VALID", kernel_init=ddpm_init())(x)
+        return nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
+
+
+class Upsample(nn.Module):
+    with_conv: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        x = jax.image.resize(x, (b, d * 2, h * 2, w * 2, c), "nearest")
+        if self.with_conv:
+            x = nn.Conv(c, (3, 3, 3), kernel_init=ddpm_init())(x)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class UNet3DConfig:
+    data_ch: int = 4
+    base_channels: int = 128
+    ch_mult: Sequence[int] = (1, 2, 2, 4, 4, 4)
+    down_block_types: Sequence[str] = (
+        "ResBlock", "ResBlock", "ResBlock", "AttnResBlock", "ResBlock", "ResBlock"
+    )
+    up_block_types: Sequence[str] = (
+        "ResBlock", "ResBlock", "AttnResBlock", "ResBlock", "ResBlock", "ResBlock"
+    )
+    num_res_blocks: int = 2
+    num_res_blocks_1st_layer: int = 2
+    dropout: float = 0.1
+    resamp_with_conv: bool = True
+    use_occ: bool = True
+
+
+class UNet3D(nn.Module):
+    """Returns (grid_score, occ_score) — ref unet3d_occgrid.py:145-203."""
+
+    cfg: UNet3DConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # (B, D, D, D, C) feature grid, NDHWC
+        occ: Optional[jax.Array],  # (B, 2D, 2D, 2D, 1) occ grid
+        timesteps: jax.Array,  # (B,) int/float labels
+        feature_mask: Optional[jax.Array] = None,  # (1, D, D, D, C)
+        pixcat_mask: Optional[jax.Array] = None,  # (1, D, D, D, 1)
+        occ_mask: Optional[jax.Array] = None,  # (1, 2D, 2D, 2D, 1)
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        nf = cfg.base_channels
+        if feature_mask is None:
+            feature_mask = jnp.ones((1,) + x.shape[1:4] + (x.shape[-1],), x.dtype)
+        if pixcat_mask is None:
+            pixcat_mask = jnp.ones((1,) + x.shape[1:4] + (1,), x.dtype)
+
+        x = x * feature_mask
+        temb = get_timestep_embedding(timesteps, nf)
+        temb = nn.Dense(nf * 4, kernel_init=ddpm_init())(temb)
+        temb = nn.Dense(nf * 4, kernel_init=ddpm_init())(nn.silu(temb))
+
+        h = nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init())(x)
+        h = h + nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init())(
+            jnp.broadcast_to(pixcat_mask, (x.shape[0],) + pixcat_mask.shape[1:])
+        )
+        if cfg.use_occ and occ is not None:
+            if occ_mask is None:
+                occ_mask = jnp.ones((1,) + occ.shape[1:4] + (1,), occ.dtype)
+            occ = occ * occ_mask
+            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init())(occ)
+            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init())(
+                jnp.broadcast_to(occ_mask, (x.shape[0],) + occ_mask.shape[1:])
+            )
+
+        # Downsampling
+        hs = [h]
+        n_levels = len(cfg.down_block_types)
+        for i_level, btype in enumerate(cfg.down_block_types):
+            nrb = cfg.num_res_blocks_1st_layer if i_level == 0 else cfg.num_res_blocks
+            for _ in range(nrb):
+                h = ResBlock(
+                    out_ch=nf * cfg.ch_mult[i_level],
+                    dropout=cfg.dropout,
+                    use_attn=(btype == "AttnResBlock"),
+                )(hs[-1], temb, train)
+                hs.append(h)
+            if i_level != n_levels - 1:
+                hs.append(Downsample(cfg.resamp_with_conv)(hs[-1]))
+
+        # Middle
+        h = hs[-1]
+        h = ResBlock(dropout=cfg.dropout, use_attn=True)(h, temb, train)
+        h = ResBlock(dropout=cfg.dropout)(h, temb, train)
+
+        # Upsampling
+        for i_level, btype in enumerate(cfg.up_block_types):
+            nrb = (
+                cfg.num_res_blocks_1st_layer
+                if i_level == n_levels - 1
+                else cfg.num_res_blocks
+            )
+            for _ in range(nrb + 1):
+                h = ResBlock(
+                    out_ch=nf * cfg.ch_mult[n_levels - i_level - 1],
+                    dropout=cfg.dropout,
+                    use_attn=(btype == "AttnResBlock"),
+                )(jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
+            if i_level != n_levels - 1:
+                h = Upsample(cfg.resamp_with_conv)(h)
+
+        assert not hs
+        h = nn.silu(GroupNormF32()(h))
+        grid = nn.Conv(cfg.data_ch, (5, 5, 5), kernel_init=ddpm_init(0.0))(h)
+        grid = grid * feature_mask
+
+        grid_occ = None
+        if cfg.use_occ and occ is not None:
+            # torch ConvTranspose3d(k=4, s=2, p=1) ≡ exact ×2 upsample; flax
+            # 'SAME' padding gives the same in·stride output extent.
+            grid_occ = nn.ConvTranspose(
+                1, (4, 4, 4), strides=(2, 2, 2), padding="SAME",
+                kernel_init=ddpm_init(),
+            )(h)
+            grid_occ = grid_occ * occ_mask
+        return grid, grid_occ

@@ -161,11 +161,16 @@ def _recompute_bary(v_clip, faces, tri_id, px, py, h, w):
     sy = (tri[..., 1] * inv_w * 0.5 + 0.5) * h
     a, b, c, area2 = _edge_coeffs(sx, sy)
     e = a * px[:, None] + b * py[:, None] + c  # (P, 3)
-    area_safe = jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+    # 1e-6 px² degenerate threshold: the backward of e/area is O(1/area²)
+    # and must stay finite in f32 for silhouette-grazing triangles.
+    ok = jnp.abs(area2) > 1e-6
+    area_safe = jnp.where(ok, area2, 1.0)
     sb = e / area_safe[:, None]
     pc = sb * inv_w  # perspective correction
     denom = pc.sum(-1, keepdims=True)
-    pc = pc / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    dok = jnp.abs(denom) > 1e-8
+    pc = pc / jnp.where(dok, denom, 1.0)
+    pc = jnp.where((ok[:, None] & dok), pc, jnp.asarray([[1.0, 0.0, 0.0]]))
     return pc[:, :2]
 
 
@@ -217,7 +222,7 @@ def bary_screen_derivs(rast: Rast, faces: jax.Array, v_clip: jax.Array) -> jax.A
     ys, xs = _pixel_centers(h, w)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
     px, py = px.reshape(-1), py.reshape(-1)
-    area_safe = jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)[:, None]
+    area_safe = jnp.where(jnp.abs(area2) > 1e-6, area2, 1.0)[:, None]
     e = a * px[:, None] + b * py[:, None] + c
     sb = e / area_safe
     dsb_dx = a / area_safe
@@ -225,7 +230,7 @@ def bary_screen_derivs(rast: Rast, faces: jax.Array, v_clip: jax.Array) -> jax.A
     # B = (sb·iw) / S,  S = Σ sb·iw
     q = sb * inv_w
     s = q.sum(-1, keepdims=True)
-    s = jnp.where(jnp.abs(s) > 1e-12, s, 1.0)
+    s = jnp.where(jnp.abs(s) > 1e-8, s, 1.0)
     dq_dx = dsb_dx * inv_w
     dq_dy = dsb_dy * inv_w
     ds_dx = dq_dx.sum(-1, keepdims=True)

@@ -1,0 +1,89 @@
+"""Neural PBR material: hash-grid + MLP texture (tiny-cuda-nn replacement).
+
+TPU-native twin of ``render/mlptexture.py:47-106`` (MLPTexture3D): a 16-level
+hash-grid encoding feeding a bias-free 2×32 ReLU MLP, sigmoid-squashed into
+per-channel [min, max].  The reference's ×128 gradient-scaling hooks
+(``mlptexture.py:72-74,83``) are reproduced with ``scale_grad`` between the
+encoder and the MLP; the additional ÷8 on hash-table grads at optimizer time
+(``train_gshelltet_deepfashion.py:435``) lives in the trainer's gradient
+transform.
+
+The material dict convention follows the reference (``render/material.py``):
+``{'kd_ks': MLPTexture3D, 'bsdf': 'pbr'}`` for reconstruction.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.mlp import apply_relu_mlp, init_relu_mlp
+from ..ops.hashgrid import (
+    HashGridConfig,
+    HashGridParams,
+    hashgrid_encode,
+    init_hashgrid,
+)
+from ..ops.math import scale_grad
+
+GRADIENT_SCALING = 128.0
+
+
+class MLPTexture3DConfig(NamedTuple):
+    channels: int = 6
+    internal_dims: int = 32
+    hidden: int = 2
+    hash: HashGridConfig = HashGridConfig()
+    aabb_min: tuple = (-1.0, -1.0, -1.0)
+    aabb_max: tuple = (1.0, 1.0, 1.0)
+    min_max: tuple | None = None  # ((c_min,)*C, (c_max,)*C)
+
+
+class MLPTexture3DParams(NamedTuple):
+    tables: HashGridParams
+    mlp: list  # list of weight matrices
+
+
+def init_mlp_texture(key: jax.Array, cfg: MLPTexture3DConfig) -> MLPTexture3DParams:
+    k1, k2 = jax.random.split(key)
+    tables = init_hashgrid(k1, cfg.hash)
+    dims = (
+        [cfg.hash.out_dim]
+        + [cfg.internal_dims] * cfg.hidden
+        + [cfg.channels]
+    )
+    mlp = init_relu_mlp(k2, dims)
+    return MLPTexture3DParams(tables=tables, mlp=mlp)
+
+
+def sample_mlp_texture(
+    params: MLPTexture3DParams, cfg: MLPTexture3DConfig, pos: jax.Array
+) -> jax.Array:
+    """Sample the material field at world positions (ref ``mlptexture.py:88-99``)."""
+    aabb_min = jnp.asarray(cfg.aabb_min)
+    aabb_max = jnp.asarray(cfg.aabb_max)
+    shp = pos.shape[:-1]
+    x = (pos.reshape(-1, 3) - aabb_min) / (aabb_max - aabb_min)
+    x = jnp.clip(x, 0.0, 1.0)
+    feat = hashgrid_encode(params.tables, x, cfg.hash)
+    feat = scale_grad(feat, GRADIENT_SCALING)
+    out = apply_relu_mlp(params.mlp, feat)
+    out = jax.nn.sigmoid(out)
+    if cfg.min_max is not None:
+        lo = jnp.asarray(cfg.min_max[0])
+        hi = jnp.asarray(cfg.min_max[1])
+        out = out * (hi - lo) + lo
+    return out.reshape(*shp, cfg.channels)
+
+
+def default_kd_ks_min_max(
+    kd_min=(0.0, 0.0, 0.0),
+    kd_max=(1.0, 1.0, 1.0),
+    ks_min=(0.0, 0.001, 0.0),
+    ks_max=(0.0, 1.0, 1.0),
+):
+    """Combined 6-channel (kd | ks) range, matching the reference's
+    ``initial_guess_material`` (``train_gshelltet_deepfashion.py:155-170``)
+    and config ks ranges."""
+    return (tuple(kd_min) + tuple(ks_min), tuple(kd_max) + tuple(ks_max))

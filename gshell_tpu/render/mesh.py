@@ -1,0 +1,81 @@
+"""Mesh container + OBJ IO (twin of ``render/mesh.py`` / ``render/obj.py``).
+
+``Mesh`` is a pytree (NamedTuple of arrays) so meshes pass through jit/vmap;
+``face_valid`` supports the framework-wide padded-static-shape convention.
+"""
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mesh_ops import auto_normals, compute_tangents
+
+
+class Mesh(NamedTuple):
+    v_pos: jax.Array  # (V, 3)
+    t_pos_idx: jax.Array  # (F, 3) int32
+    v_nrm: Optional[jax.Array] = None
+    v_tex: Optional[jax.Array] = None
+    v_tng: Optional[jax.Array] = None
+    face_valid: Optional[jax.Array] = None  # (F,) bool; None = all valid
+
+    def with_normals(self) -> "Mesh":
+        return self._replace(
+            v_nrm=auto_normals(self.v_pos, self.t_pos_idx, self.face_valid)
+        )
+
+    def aabb(self):
+        return self.v_pos.min(axis=0), self.v_pos.max(axis=0)
+
+
+def unit_size(mesh: Mesh) -> Mesh:
+    """Center and scale to fit in [-0.5, 0.5]³ (ref ``mesh.py`` unit_size)."""
+    vmin, vmax = mesh.aabb()
+    center = (vmin + vmax) / 2
+    scale = 1.0 / jnp.max(vmax - vmin)
+    return mesh._replace(v_pos=(mesh.v_pos - center) * scale)
+
+
+def load_obj(path: str, scale: float = 1.0) -> Mesh:
+    """Minimal OBJ loader: positions + faces (triangulates fans).
+    Twin of ``render/obj.py:31-141`` (geometry only; material binding is
+    handled by the caller)."""
+    verts, faces = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = jnp.asarray(np.asarray(verts, np.float32) * scale)
+    f = jnp.asarray(np.asarray(faces, np.int32))
+    return Mesh(v_pos=v, t_pos_idx=f).with_normals()
+
+
+def save_obj(path: str, v_pos: np.ndarray, faces: np.ndarray, face_valid=None):
+    """OBJ writer (twin of ``render/obj.py:143-192``), dropping padded faces
+    and unreferenced vertices."""
+    v = np.asarray(v_pos)
+    f = np.asarray(faces)
+    if face_valid is not None:
+        f = f[np.asarray(face_valid)]
+    # Drop degenerate faces (padding routed to sentinel vertex)
+    keep = ~((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2]) | (f[:, 0] == f[:, 2]))
+    f = f[keep]
+    used = np.unique(f.reshape(-1))
+    remap = np.full(v.shape[0], -1, np.int64)
+    remap[used] = np.arange(used.shape[0])
+    v = v[used]
+    f = remap[f]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as out:
+        for p in v:
+            out.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for tri in f:
+            out.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")

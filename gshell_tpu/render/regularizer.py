@@ -1,0 +1,95 @@
+"""Shading / material / geometry regularizers (twin of ``render/regularizer.py``)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.math import rgb_to_srgb
+from ..ops.mesh_ops import compute_edges
+
+
+def _luma(x):
+    return jnp.repeat((x[..., 0:1] + x[..., 1:2] + x[..., 2:3]) / 3.0, 3, axis=-1)
+
+
+def _value(x):
+    return jnp.repeat(jnp.max(x[..., 0:3], axis=-1, keepdims=True), 3, axis=-1)
+
+
+def chroma_loss(kd, color_ref, lambda_chroma):
+    """ref regularizer.py:21-26."""
+    eps = 0.001
+    ref_chroma = color_ref[..., 0:3] / jnp.clip(_value(color_ref), min=eps)
+    opt_chroma = kd[..., 0:3] / jnp.clip(_value(kd), min=eps)
+    return jnp.mean(jnp.abs((opt_chroma - ref_chroma) * color_ref[..., 3:])) * lambda_chroma
+
+
+def shading_loss(diffuse_light, specular_light, color_ref, lambda_diffuse, lambda_specular):
+    """Monochrome-diffuse + specular-ratio regularizer (ref :28-40)."""
+    diffuse_luma = _luma(diffuse_light)
+    specular_luma = _luma(specular_light)
+    ref_luma = _value(color_ref)
+    eps = 0.001
+    img = rgb_to_srgb(
+        jnp.log(jnp.clip((diffuse_luma + specular_luma) * color_ref[..., 3:], 0.0, 65535.0) + 1.0)
+    )
+    target = rgb_to_srgb(jnp.log(jnp.clip(ref_luma * color_ref[..., 3:], 0.0, 65535.0) + 1.0))
+    loss = jnp.mean(jnp.abs(img - target)) * lambda_diffuse
+    loss += (
+        jnp.mean(specular_luma) / jnp.clip(jnp.mean(diffuse_luma), min=eps) * lambda_specular
+    )
+    return loss
+
+
+def material_smoothness_grad(kd_grad, ks_grad, nrm_grad, lambda_kd=0.25, lambda_ks=0.1, lambda_nrm=0.0):
+    """ref :46-51."""
+    kd_luma_grad = (kd_grad[..., 0] + kd_grad[..., 1] + kd_grad[..., 2]) / 3.0
+    loss = jnp.mean(kd_luma_grad * kd_grad[..., -1]) * lambda_kd
+    loss += jnp.mean(ks_grad[..., :-1] * ks_grad[..., -1:]) * lambda_ks
+    loss += jnp.mean(nrm_grad[..., :-1] * nrm_grad[..., -1:]) * lambda_nrm
+    return loss
+
+
+def avg_edge_length(v_pos, t_pos_idx):
+    e = compute_edges(t_pos_idx)
+    d = v_pos[e[:, 0]] - v_pos[e[:, 1]]
+    return jnp.mean(jnp.sqrt(jnp.clip(jnp.sum(d * d, -1), min=1e-20)))
+
+
+def laplace_regularizer_const(v_pos, t_pos_idx, face_mask=None):
+    """Umbrella-operator Laplacian (ref :77-98); padded faces masked out."""
+    num_v = v_pos.shape[0]
+    v0 = v_pos[t_pos_idx[:, 0]]
+    v1 = v_pos[t_pos_idx[:, 1]]
+    v2 = v_pos[t_pos_idx[:, 2]]
+    if face_mask is not None:
+        m = face_mask[:, None].astype(v_pos.dtype)
+    else:
+        m = jnp.ones((t_pos_idx.shape[0], 1), v_pos.dtype)
+    term = jnp.zeros_like(v_pos)
+    term = term + jax.ops.segment_sum(((v1 - v0) + (v2 - v0)) * m, t_pos_idx[:, 0], num_v)
+    term = term + jax.ops.segment_sum(((v0 - v1) + (v2 - v1)) * m, t_pos_idx[:, 1], num_v)
+    term = term + jax.ops.segment_sum(((v0 - v2) + (v1 - v2)) * m, t_pos_idx[:, 2], num_v)
+    norm = jnp.zeros((num_v, 1), v_pos.dtype)
+    for k in range(3):
+        norm = norm + jax.ops.segment_sum(2.0 * m, t_pos_idx[:, k], num_v)
+    term = term / jnp.clip(norm, min=1.0)
+    return jnp.mean(term**2)
+
+
+def sdf_reg_loss(sdf, grid_edges):
+    """SDF sign-consistency BCE across grid edges
+    (ref ``geometry/gshell_tets_geometry.py:33-39``); masked mean over
+    sign-crossing edges, static shapes."""
+    s0 = sdf[grid_edges[:, 0]]
+    s1 = sdf[grid_edges[:, 1]]
+    mask = (jnp.sign(s0) != jnp.sign(s1)).astype(sdf.dtype)
+
+    def bce_with_logits(x, y):
+        return jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+    per_edge = bce_with_logits(s0, (s1 > 0).astype(sdf.dtype)) + bce_with_logits(
+        s1, (s0 > 0).astype(sdf.dtype)
+    )
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return (per_edge * mask).sum() / denom

@@ -1,0 +1,216 @@
+"""Differentiable mesh → image-buffer rendering orchestration.
+
+TPU-native twin of ``render/render.py`` (render_mesh → render_layer → shade):
+clip transform → rasterize → G-buffer interpolation → Monte-Carlo environment
+shading (with SDF-volume shadows) → optional bilateral denoise → background
+composite + silhouette antialias.
+
+One call = one fully-jittable graph; batching over views is ``vmap`` over
+(mvp, campos, key).  Deviations from the reference, chosen for TPU:
+
+  * use_uv=False path only (the reference's training configs never bind UV
+    textures; tangents are re-randomized per pixel, ``render.py:264-267``) —
+    UV texture baking is provided separately in ``render_uv``.
+  * The jitter-gradient smoothness buffers sample the material at
+    world-jittered positions exactly like the reference (``render.py:68-74``);
+    the *screen-space* normal-smoothness tap uses a one-pixel roll instead of
+    a bilinear jitter texture fetch (same regularizer role).
+  * spp/MSAA: supersampling is expressed by rendering at a higher resolution
+    and average-pooling (``ops.math.avg_pool_nhwc``) in the caller.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bsdf as bsdf_ops
+from ..ops.denoiser import bilateral_denoiser
+from ..ops.math import safe_normalize, xfm_points
+from ..ops.mesh_ops import face_normals as compute_face_normals
+from ..ops.rasterize import antialias, bary_screen_derivs, interpolate, rasterize
+from ..ops.shade import env_shade
+from .light import EnvLight
+from .material import MLPTexture3DConfig, MLPTexture3DParams, sample_mlp_texture
+
+
+class RenderFlags(NamedTuple):
+    resolution: tuple = (512, 512)
+    n_samples: int = 8
+    bsdf: str = "pbr"
+    denoiser_demodulate: bool = True
+    use_denoiser: bool = True
+    raster_chunk: int = 256
+    jitter_std: float = 0.01  # world-space material jitter (ref render.py:68)
+
+
+def render_mesh(
+    key: jax.Array,
+    verts: jax.Array,
+    faces: jax.Array,
+    v_nrm: jax.Array,
+    msdf: Optional[jax.Array],
+    mat_params: MLPTexture3DParams,
+    mat_cfg: MLPTexture3DConfig,
+    mvp: jax.Array,
+    campos: jax.Array,
+    light: EnvLight,
+    flags: RenderFlags,
+    background: Optional[jax.Array] = None,
+    visibility_fn: Optional[Callable] = None,
+    shadow_scale: jax.Array | float = 1.0,
+    denoiser_sigma: jax.Array | float = 2.0,
+    bsdf_override: Optional[str] = None,
+) -> dict:
+    """Render one view.  Returns the reference's buffer dict
+    (``render/render.py:169-191``) in NHWC-without-N layout (H, W, C)."""
+    h, w = flags.resolution
+    bsdf = bsdf_override or flags.bsdf
+
+    # ---- geometry pass ------------------------------------------------
+    v_clip = xfm_points(verts, mvp)
+    rast = rasterize(v_clip, faces, (h, w), chunk=flags.raster_chunk)
+    mask = (rast.tri_id > 0).astype(jnp.float32)[..., None]  # (H, W, 1)
+
+    gb_pos = interpolate(verts, rast, faces, v_clip=v_clip)
+    gb_normal_smooth = interpolate(v_nrm, rast, faces, v_clip=v_clip)
+
+    fn = compute_face_normals(verts, faces)  # (F, 3)
+    fid = jnp.maximum(rast.tri_id - 1, 0)
+    gb_geo_normal = fn[fid] * mask
+
+    # Random isotropic tangents (ref render.py:264-267, use_uv=False path)
+    k_tng, k_jit, k_shade, k_nrmjit = jax.random.split(key, 4)
+    noise = jax.random.normal(k_tng, gb_normal_smooth.shape)
+    noise = safe_normalize(noise)
+    gb_tangent = jnp.cross(noise, gb_normal_smooth)
+
+    # Depth + depth-gradient (ref render.py:272-279)
+    clip_i = interpolate(v_clip, rast, faces, v_clip=v_clip)
+    db = bary_screen_derivs(rast, faces, v_clip)
+    tri_clip = v_clip[faces[fid]]  # (H, W, 3, 4)
+    dattr_dx = (
+        db[..., 0:1] * (tri_clip[..., 0, :] - tri_clip[..., 2, :])
+        + db[..., 2:3] * (tri_clip[..., 1, :] - tri_clip[..., 2, :])
+    )
+    dattr_dy = (
+        db[..., 1:2] * (tri_clip[..., 0, :] - tri_clip[..., 2, :])
+        + db[..., 3:4] * (tri_clip[..., 1, :] - tri_clip[..., 2, :])
+    )
+    eps = 1e-5
+    z0 = jnp.clip(clip_i[..., 2:3], min=eps) / jnp.clip(clip_i[..., 3:4], min=eps)
+    dz = jnp.abs(dattr_dx[..., 2:3]) + jnp.abs(dattr_dy[..., 2:3])
+    dw = jnp.abs(dattr_dx[..., 3:4]) + jnp.abs(dattr_dy[..., 3:4])
+    z1 = jnp.clip(clip_i[..., 2:3] + dz, min=eps) / jnp.clip(clip_i[..., 3:4] + dw, min=eps)
+    z_grad = jnp.abs(z1 - z0)
+    gb_depth = jax.lax.stop_gradient(jnp.concatenate([z0, z_grad], axis=-1))
+
+    # ---- material pass (ref shade() render.py:66-97) -------------------
+    all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos)
+    jit_pos = gb_pos + flags.jitter_std * jax.random.normal(k_jit, gb_pos.shape)
+    all_tex_jitter = sample_mlp_texture(mat_params, mat_cfg, jit_pos)
+    kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
+    omit_o = jnp.asarray([0.0, 1.0, 1.0])
+    kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd) * mask
+    ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * omit_o * mask
+    alpha = jnp.ones_like(kd[..., 0:1])
+
+    # Screen-space normal smoothness tap (ref render.py:110-111)
+    shift = jax.random.randint(k_nrmjit, (2,), -1, 2)
+    nrm_rolled = jnp.roll(gb_normal_smooth, (shift[0], shift[1]), axis=(0, 1))
+    nrm_grad = jnp.abs(nrm_rolled - gb_normal_smooth) * mask
+
+    # ---- shading normal (ref render.py:118) ----------------------------
+    view_pos = jnp.broadcast_to(campos.reshape(1, 1, 3), gb_pos.shape)
+    gb_normal = bsdf_ops.prepare_shading_normal(
+        gb_pos, view_pos, None, gb_normal_smooth, gb_tangent, gb_geo_normal,
+        two_sided_shading=True, opengl=True,
+    )
+
+    # ---- Monte-Carlo environment shading (ref render.py:127-152) -------
+    if bsdf in ("pbr", "diffuse", "white"):
+        kd_eff = jnp.ones_like(kd) if bsdf == "white" else kd
+        ro = gb_pos + gb_normal * 0.001
+        p = h * w
+        out = env_shade(
+            k_shade,
+            mask.reshape(p, 1),
+            ro.reshape(p, 3),
+            gb_pos.reshape(p, 3),
+            gb_normal.reshape(p, 3),
+            view_pos.reshape(p, 3),
+            kd_eff.reshape(p, 3),
+            ks.reshape(p, 3),
+            light,
+            n_samples_x=flags.n_samples,
+            bsdf=bsdf,
+            shadow_scale=shadow_scale,
+            visibility_fn=visibility_fn,
+        )
+        diffuse_accum = out.diffuse.reshape(h, w, 3)
+        specular_accum = out.specular.reshape(h, w, 3)
+
+        if flags.use_denoiser and flags.denoiser_demodulate:
+            sig = jnp.asarray(denoiser_sigma)
+            diffuse_accum = bilateral_denoiser(diffuse_accum, gb_normal, gb_depth, sig)
+            specular_accum = bilateral_denoiser(specular_accum, gb_normal, gb_depth, sig)
+
+        if bsdf in ("white", "diffuse"):
+            shaded_col = diffuse_accum * kd_eff
+        else:
+            kd_m = kd_eff * (1.0 - ks[..., 2:3])  # kd · (1 − metalness)
+            shaded_col = diffuse_accum * kd_m + specular_accum
+
+        if flags.use_denoiser and not flags.denoiser_demodulate:
+            shaded_col = bilateral_denoiser(
+                shaded_col, gb_normal, gb_depth, jnp.asarray(denoiser_sigma)
+            )
+    elif bsdf == "normal":
+        shaded_col = (gb_normal + 1.0) * 0.5
+        diffuse_accum = specular_accum = None
+    elif bsdf == "kd":
+        shaded_col = kd
+        diffuse_accum = specular_accum = None
+    elif bsdf == "ks":
+        shaded_col = ks
+        diffuse_accum = specular_accum = None
+    else:
+        raise ValueError(f"Invalid BSDF '{bsdf}'")
+
+    # ---- composite + antialias (ref render.py:352-359) ------------------
+    if background is None:
+        background = jnp.zeros((h, w, 3))
+    comp = background * (1.0 - mask) + shaded_col * mask
+    comp_rgba = jnp.concatenate([comp, mask], axis=-1)
+    shaded = antialias(comp_rgba, rast, v_clip, faces)
+
+    buffers = {
+        "shaded": shaded,
+        "mask": mask,
+        "kd": jnp.concatenate([kd * mask, alpha], -1),
+        "ks": jnp.concatenate([ks * mask, alpha], -1),
+        "kd_grad": jnp.concatenate([kd_grad, alpha], -1),
+        "ks_grad": jnp.concatenate([ks_grad, alpha], -1),
+        "normal_grad": jnp.concatenate([nrm_grad, alpha], -1),
+        "normal": jnp.concatenate([gb_normal * mask, alpha], -1),
+        "geometric_normal": jnp.concatenate([gb_geo_normal, alpha], -1),
+        "z_grad": jnp.concatenate([gb_depth, jnp.zeros_like(alpha), alpha], -1),
+    }
+    if diffuse_accum is not None:
+        buffers["diffuse_light"] = jnp.concatenate([diffuse_accum, alpha], -1)
+        buffers["specular_light"] = jnp.concatenate([specular_accum, alpha], -1)
+
+    # mSDF image for the open/close hinge losses (ref render.py:302-309)
+    if msdf is not None:
+        buffers["msdf_image"] = interpolate(msdf[:, None], rast, faces, v_clip=v_clip)
+
+    # Visible-vertex mask (ref render.py:380-383 visible_triangles → used by
+    # the mSDF close regularizer, gshell_tets_geometry.py:343-348)
+    nv = verts.shape[0]
+    vis_faces = faces[fid].reshape(-1)
+    hit_rep = jnp.repeat((rast.tri_id > 0).reshape(-1), 3)
+    vis_vert = jnp.zeros((nv,), jnp.bool_).at[vis_faces].max(hit_rep)
+    buffers["visible_vert_mask"] = vis_vert
+
+    return buffers

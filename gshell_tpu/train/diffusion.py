@@ -1,0 +1,163 @@
+"""G-MeshDiffusion trainer: data-parallel, grad-accumulating, preemption-safe.
+
+TPU-native twin of ``GMeshDiffusion/lib/diffusion/trainer.py:20-163`` and
+``trainer_ddp.py:22-187``:
+
+  reference (8×GPU NCCL DDP)            this (TPU mesh)
+  ────────────────────────────          ─────────────────────────────────────
+  torchrun 8 procs + DDP wrapper        one jitted step over Mesh('data')
+  no_sync() grad accumulation           lax.scan over microbatches
+  NCCL all-reduce on last microbatch    XLA psum inserted by sharding
+  GradScaler (fp16)                     — (bf16 needs no loss scaling)
+  checkpoints-meta preemption resume    orbax checkpointing (save/restore)
+  EMA shadow params                     ema.py pytree map
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.ema import EMAState, ema_init, ema_update
+from ..models.losses import make_ddpm_loss_fn, make_optimizer
+from ..models.sde import make_vpsde
+from ..models.unet3d import UNet3D, UNet3DConfig
+from ..parallel.sharding import data_sharding, make_mesh, replicated
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionTrainConfig:
+    grid_size: int = 128
+    data_ch: int = 4
+    use_occ: bool = True
+    batch_per_step: int = 8  # global batch (ref: 8 ranks × 1)
+    num_grad_acc_steps: int = 4
+    lr: float = 1e-5
+    warmup: int = 5000
+    grad_clip: float = 1.0
+    weight_decay: float = 1e-5
+    ema_rate: float = 0.9999
+    beta_min: float = 0.1
+    beta_max: float = 20.0
+    num_scales: int = 1000
+    snapshot_freq: int = 1000
+    param_dtype: str = "float32"
+
+
+class DiffusionTrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    ema: EMAState
+    step: jax.Array
+
+
+class DiffusionTrainer:
+    def __init__(
+        self,
+        cfg: DiffusionTrainConfig,
+        unet_cfg: Optional[UNet3DConfig] = None,
+        feature_mask=None,
+        occ_mask=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.unet_cfg = unet_cfg or UNet3DConfig(
+            data_ch=cfg.data_ch, use_occ=cfg.use_occ
+        )
+        self.model = UNet3D(self.unet_cfg)
+        self.sde = make_vpsde(cfg.beta_min, cfg.beta_max, cfg.num_scales)
+        self.tx = make_optimizer(
+            cfg.lr, cfg.warmup, cfg.grad_clip, cfg.weight_decay
+        )
+        self.feature_mask = feature_mask
+        self.occ_mask = occ_mask
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        def apply_fn(params, x, occ, labels, train=False, rngs=None):
+            return self.model.apply(
+                {"params": params},
+                x,
+                occ,
+                labels,
+                feature_mask=feature_mask,
+                pixcat_mask=None,
+                occ_mask=occ_mask,
+                train=train,
+                rngs=rngs,
+            )
+
+        self.apply_fn = apply_fn
+        self.loss_fn = make_ddpm_loss_fn(
+            self.sde, apply_fn, feature_mask=feature_mask, occ_mask=occ_mask
+        )
+
+    # ---------------- init ----------------
+    def init_state(self, key: jax.Array) -> DiffusionTrainState:
+        d = self.cfg.grid_size
+        x = jnp.zeros((1, d, d, d, self.cfg.data_ch))
+        occ = jnp.zeros((1, 2 * d, 2 * d, 2 * d, 1)) if self.cfg.use_occ else None
+        variables = self.model.init(
+            {"params": key}, x, occ, jnp.zeros((1,), jnp.int32), train=False
+        )
+        params = variables["params"]
+        state = DiffusionTrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            ema=ema_init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        # replicate params across the mesh; batches get sharded per step
+        rep = replicated(self.mesh)
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+    # ---------------- train step ----------------
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: DiffusionTrainState, key: jax.Array, batch: dict):
+        """batch: {'grid': (A, B, D, D, D, C), 'occgrid': (A, B, ...)} with A =
+        num_grad_acc_steps microbatches, each sharded over the data axis.
+        One jitted step = scan microbatches, mean grads, one optimizer step —
+        the reference's no_sync() inner loop (trainer_ddp.py:133-158)."""
+
+        def micro(carry, mb):
+            g_acc, l_acc, k = carry
+            k, sub = jax.random.split(k)
+            loss, g = jax.value_and_grad(self.loss_fn)(state.params, sub, mb)
+            g_acc = jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g)
+            return (g_acc, l_acc + loss, k), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (g_sum, loss_sum, _), _ = jax.lax.scan(
+            micro, (zeros, 0.0, key), batch
+        )
+        a = self.cfg.num_grad_acc_steps
+        grads = jax.tree_util.tree_map(lambda g: g / a, g_sum)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, self.cfg.ema_rate)
+        new_state = DiffusionTrainState(
+            params=params, opt_state=opt_state, ema=ema, step=state.step + 1
+        )
+        return new_state, {"loss": loss_sum / a}
+
+    # ---------------- checkpointing (ref trainer.py:48-55, utils.py:6-47) ---
+    def save_checkpoint(self, path: str, state: DiffusionTrainState):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), state, force=True)
+        ckptr.wait_until_finished()
+
+    def restore_checkpoint(self, path: str, state: DiffusionTrainState):
+        """Graceful restore: returns ``state`` unchanged if no checkpoint
+        (ref utils.py:6-36)."""
+        import orbax.checkpoint as ocp
+
+        if not os.path.exists(path):
+            return state
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(os.path.abspath(path), state)
