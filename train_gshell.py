@@ -1,0 +1,164 @@
+"""Reconstruction training CLI — twin of the reference entry scripts
+``train_gshelltet_deepfashion.py`` / ``train_gshelltet_synthetic.py`` /
+``train_gflexicubes_deepfashion.py`` (selected by config / --flexicubes).
+
+Usage:
+  python train_gshell.py --config configs/deepfashion_mc_256.json \
+      --trainset-path /data/deepfashion3d/30 --out-dir out/df30
+  python train_gshell.py --config configs/nerf_chair.json \
+      --ref-mesh /data/nerf_synthetic/chair --out-dir out/chair
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description="gshell_tpu reconstruction")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("-i", "--iter", type=int, default=None)
+    p.add_argument("-b", "--batch", type=int, default=None)
+    p.add_argument("-o", "--out-dir", dest="out_dir", type=str, default="out/run")
+    p.add_argument("--trainset-path", dest="trainset_path", type=str, default=None)
+    p.add_argument("--testset-path", dest="testset_path", type=str, default=None)
+    p.add_argument("--ref-mesh", dest="ref_mesh", type=str, default=None)
+    p.add_argument("--n_samples", type=int, default=None)
+    p.add_argument("--flexicubes", action="store_true")
+    p.add_argument("--log-interval", type=int, default=10)
+    args = p.parse_args()
+
+    from gshell_tpu.utils.config import load_flags, learning_rates
+    from gshell_tpu.geometry.geometry import GeometryConfig, GShellGeometry
+    from gshell_tpu.geometry.mlp import MLPConfig
+    from gshell_tpu.render.material import MLPTexture3DConfig, default_kd_ks_min_max
+    from gshell_tpu.render.render import RenderFlags
+    from gshell_tpu.train.reconstruct import Reconstructor, TrainConfig
+    from gshell_tpu.data.datasets import DatasetDeepFashion, DatasetNeRF
+
+    flags = load_flags(
+        args.config,
+        iter=args.iter,
+        batch=args.batch,
+        out_dir=args.out_dir,
+        trainset_path=args.trainset_path,
+        ref_mesh=args.ref_mesh,
+        n_samples=args.n_samples,
+    )
+    os.makedirs(flags.out_dir, exist_ok=True)
+
+    gcfg = GeometryConfig(
+        grid_res=flags.gshell_grid,
+        scale=flags.mesh_scale,
+        boxscale=tuple(flags.boxscale),
+        use_sdf_mlp=flags.use_sdf_mlp,
+        use_msdf_mlp=flags.use_msdf_mlp,
+        mlp=MLPConfig(
+            n_freq=flags.n_freq,
+            d_hidden=flags.d_hidden,
+            n_hidden=flags.n_hidden,
+            skip_in=tuple(flags.skip_in),
+        ),
+        msdf_reg_open_scale=flags.msdf_reg_open_scale,
+        msdf_reg_close_scale=flags.msdf_reg_close_scale,
+        sdf_regularizer=flags.sdf_regularizer,
+        eikonal_scale=flags.eikonal_scale,
+        lambda_kd=flags.lambda_kd,
+        lambda_ks=flags.lambda_ks,
+        lambda_nrm=flags.lambda_nrm,
+        lambda_chroma=flags.lambda_chroma,
+        lambda_diffuse=flags.lambda_diffuse,
+        lambda_specular=flags.lambda_specular,
+        use_eikonal=flags.use_eikonal,
+        total_iters=flags.iter,
+    )
+    geo = GShellGeometry(gcfg)
+
+    aabb = np.asarray(flags.aabb, np.float32).reshape(2, 3)
+    mat_cfg = MLPTexture3DConfig(
+        channels=6,
+        aabb_min=tuple(aabb[0].tolist()),
+        aabb_max=tuple(aabb[1].tolist()),
+        min_max=default_kd_ks_min_max(
+            flags.kd_min[:3], flags.kd_max[:3], flags.ks_min, flags.ks_max
+        ),
+    )
+    rflags = RenderFlags(
+        resolution=tuple(flags.train_res),
+        n_samples=flags.n_samples,
+        bsdf=flags.bsdf,
+        use_denoiser=flags.denoiser == "bilateral",
+        denoiser_demodulate=flags.denoiser_demodulate,
+    )
+    lr_pos, lr_mat, lr_lgt = learning_rates(flags)
+    tcfg = TrainConfig(
+        lr_pos=lr_pos, lr_mat=lr_mat, lr_lgt=lr_lgt, loss=flags.loss,
+        iters=flags.iter, batch=flags.batch,
+    )
+    rec = Reconstructor(geo, mat_cfg, rflags, tcfg)
+
+    # dataset
+    if flags.trainset_path:
+        ds = DatasetDeepFashion(flags.trainset_path, train_res=tuple(flags.train_res))
+    elif flags.ref_mesh and os.path.isdir(flags.ref_mesh):
+        ds = DatasetNeRF(
+            os.path.join(flags.ref_mesh, "transforms_train.json"),
+            train_res=tuple(flags.train_res),
+        )
+    else:
+        raise SystemExit("need --trainset-path (DeepFashion) or --ref-mesh (NeRF dir)")
+
+    key = jax.random.PRNGKey(0)
+    state = rec.init_state(key, pretrain_steps=flags.sdf_mlp_pretrain_steps)
+
+    t_hist = []
+    for it, target in enumerate(ds.iterate(flags.batch, flags.iter, background="random")):
+        t0 = time.time()
+        key, k = jax.random.split(key)
+        state, m = rec.train_step(state, k, target)
+        if it % args.log_interval == 0:
+            jax.block_until_ready(m["total"])
+            t_hist.append(time.time() - t0)
+            rem = (flags.iter - it) * np.mean(t_hist[-10:])
+            print(
+                f"iter={it:5d}, img_loss={float(m['img_loss']):.6f}, "
+                f"reg_loss={float(m['reg_loss']):.6f}, "
+                f"ntets={int(m['n_valid_tets'])}, time={t_hist[-1]*1000:.1f} ms, "
+                f"rem={rem/60:.1f} min",
+                flush=True,
+            )
+        if flags.save_interval and it > 0 and it % flags.save_interval == 0:
+            _save_mesh(geo, state, flags.out_dir, it)
+
+    _save_mesh(geo, state, flags.out_dir, flags.iter)
+    _save_state(state, flags.out_dir)
+    print("done.")
+
+
+def _save_mesh(geo, state, out_dir, it):
+    from gshell_tpu.render.mesh import save_obj
+
+    mesh = jax.jit(geo.get_mesh)(state.params_geo)
+    save_obj(
+        os.path.join(out_dir, f"mesh_{it:06d}.obj"),
+        np.asarray(mesh.verts),
+        np.asarray(mesh.faces),
+        np.asarray(mesh.face_valid),
+    )
+
+
+def _save_state(state, out_dir):
+    import pickle
+
+    with open(os.path.join(out_dir, "state.pkl"), "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, state), f)
+
+
+if __name__ == "__main__":
+    main()
