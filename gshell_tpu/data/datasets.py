@@ -185,6 +185,165 @@ class DatasetNeRF(PosedImageDataset):
         self.resolution = train_res
 
 
+class DatasetDeepFashionTestset(DatasetDeepFashion):
+    """DeepFashion test split with a separate mask directory
+    (ref ``dataset/dataset_deepfashion_testset.py:67-137``)."""
+
+    def __init__(self, base_dir: str, mask_dir: str, train_res=(512, 512), **kw):
+        super().__init__(base_dir, train_res=train_res, **kw)
+        import imageio.v2 as imageio
+
+        for i in range(self.imgs.shape[0]):
+            m = imageio.imread(os.path.join(mask_dir, f"{i:03d}.png"))
+            m = (np.asarray(m, np.float32) / 255.0)[..., :1]
+            m = _resize_np(m, train_res)
+            self.imgs[i, ..., 3:] = np.sign(m)
+            self.imgs[i, ..., 0:3] *= np.sign(m)
+
+
+class DatasetNeRFColmap(PosedImageDataset):
+    """Colmap-style NeRF captures (polycam/hat) with explicit mask images
+    (ref ``dataset/dataset_nerf_colmap.py:34-94``): per-frame camera_angle_x,
+    mask in a sibling ``mask/`` dir, mv = inv(xform) @ rotate_x(-π/2)."""
+
+    def __init__(self, cfg_path: str, train_res=(512, 512), cam_near_far=(0.1, 1000.0), examples: Optional[int] = None):
+        super().__init__()
+        base_dir = os.path.dirname(cfg_path)
+        cfg = json.load(open(cfg_path))
+        frames = cfg["frames"][:examples] if examples else cfg["frames"]
+        aspect = train_res[1] / train_res[0]
+        rx = np.asarray(gmath.rotate_x(-np.pi / 2))
+
+        mvps, camposs, imgs = [], [], []
+        for frame in frames:
+            fovx = frame["camera_angle_x"]
+            fovy = 2.0 * np.arctan(np.tan(fovx / 2.0) / aspect)
+            proj = np.asarray(gmath.perspective(fovy, aspect, *cam_near_far))
+            img_path = os.path.join(base_dir, frame["file_path"])
+            img = _load_img(img_path)
+            mask_path = img_path.replace("/image/", "/mask/").replace(".jpg", ".png")
+            if os.path.exists(mask_path):
+                m = _load_img(mask_path)[..., :1]
+                img = np.concatenate([img[..., :3], m], -1)
+            img = _resize_np(img, train_res)
+            img[..., 0:3] *= img[..., 3:]
+            img[..., 3] = np.sign(img[..., 3])
+            imgs.append(img)
+            mv = np.linalg.inv(np.asarray(frame["transform_matrix"], np.float32)) @ rx
+            campos = np.linalg.inv(mv)[:3, 3]
+            mvps.append(proj @ mv)
+            camposs.append(campos)
+        self.mvp = np.stack(mvps)
+        self.campos = np.stack(camposs)
+        self.imgs = np.stack(imgs)
+        self.resolution = train_res
+
+
+class DatasetLLFF(PosedImageDataset):
+    """LLFF light-field captures (``poses_bounds.npy`` + images/ + masks/) —
+    ref ``dataset/dataset_llff.py:39-109``, including the LLFF→NeRF axis
+    swizzle and auto-centering at the focal point of the camera rays."""
+
+    def __init__(self, base_dir: str, train_res=(512, 512), cam_near_far=(0.1, 1000.0)):
+        super().__init__()
+        import glob as globmod
+
+        img_files = sorted(
+            f
+            for f in globmod.glob(os.path.join(base_dir, "images", "*"))
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        mask_files = sorted(
+            f
+            for f in globmod.glob(os.path.join(base_dir, "masks", "*"))
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        pb = np.load(os.path.join(base_dir, "poses_bounds.npy"))
+        poses = pb[:, :-2].reshape([-1, 3, 5]).transpose([1, 2, 0])
+        poses = np.concatenate([poses[:, 1:2], -poses[:, 0:1], poses[:, 2:]], 1)
+        poses = np.moveaxis(poses, -1, 0).astype(np.float32)  # (N, 3, 5)
+        lrow = np.tile(np.asarray([0, 0, 0, 1], np.float32), (poses.shape[0], 1, 1))
+        imvs = np.concatenate([poses[:, :, 0:4], lrow], axis=1)  # cam-to-world
+
+        # focal length (pixels) → fovy
+        focal = poses[:, 2, 4]
+        h_px = poses[:, 0, 4]
+        fovy = 2.0 * np.arctan(0.5 * h_px / focal)
+
+        # recenter: approximate focal point of viewing rays (ref lines_focal)
+        origins = imvs[:, :3, 3]
+        dirs = -imvs[:, :3, 2]
+        center = _lines_focal(origins, dirs)
+        imvs[:, :3, 3] -= center[None]
+
+        aspect = train_res[1] / train_res[0]
+        mvps, camposs, imgs = [], [], []
+        for i, f in enumerate(img_files):
+            proj = np.asarray(gmath.perspective(float(fovy[i]), aspect, *cam_near_far))
+            mv = np.linalg.inv(imvs[i])
+            campos = np.linalg.inv(mv)[:3, 3]
+            img = _load_img(f)
+            if i < len(mask_files):
+                m = _load_img(mask_files[i])[..., :1]
+                img = np.concatenate([img[..., :3], m], -1)
+            img = _resize_np(img, train_res)
+            img[..., 0:3] *= img[..., 3:]
+            img[..., 3] = np.sign(img[..., 3])
+            imgs.append(img)
+            mvps.append(proj @ mv)
+            camposs.append(campos)
+        self.mvp = np.stack(mvps)
+        self.campos = np.stack(camposs)
+        self.imgs = np.stack(imgs)
+        self.resolution = train_res
+
+
+def _lines_focal(o: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Least-squares closest point to a set of lines (ref util.lines_focal)."""
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    eye = np.eye(3)[None]
+    m = eye - d[:, :, None] * d[:, None, :]
+    a = m.sum(0)
+    b = (m @ o[:, :, None]).sum(0)[:, 0]
+    return np.linalg.solve(a, b)
+
+
+class GShellGridDataset:
+    """Baked diffusion grids from a file list (ref
+    ``GMeshDiffusion/lib/dataset/gshell_dataset.py`` /
+    ``gshell_dataset_aug.py``).  Yields channels-last numpy batches."""
+
+    def __init__(self, file_list: list, use_occ: bool = True):
+        self.files = list(file_list)
+        self.use_occ = use_occ
+
+    def __len__(self):
+        return len(self.files)
+
+    def sample_batch(self, rng: np.random.Generator, batch: int) -> dict:
+        idx = rng.integers(0, len(self.files), size=batch)
+        grids, occs = [], []
+        for i in idx:
+            z = np.load(self.files[i])
+            grids.append(np.asarray(z["grid"], np.float32))
+            if self.use_occ:
+                occs.append(np.asarray(z["occgrid"], np.float32)[..., None])
+        out = {"grid": np.stack(grids)}
+        if self.use_occ:
+            out["occgrid"] = np.stack(occs)
+        return out
+
+
+def make_splits(paths: list, train_frac: float = 0.9, seed: int = 0):
+    """90/10 shuffled split lists (ref ``GMeshDiffusion/metadata/
+    get_splits_lower.py:1-33``)."""
+    rng = np.random.default_rng(seed)
+    paths = list(paths)
+    rng.shuffle(paths)
+    k = int(len(paths) * train_frac)
+    return paths[:k], paths[k:]
+
+
 class DatasetMesh(PosedImageDataset):
     """Synthetic ground-truth supervision: renders a reference mesh with a
     random camera + environment light per batch (ref ``dataset/dataset_mesh.py``).

@@ -22,12 +22,18 @@ def dot(x: jax.Array, y: jax.Array, keepdims: bool = True) -> jax.Array:
     return jnp.sum(x * y, axis=-1, keepdims=keepdims)
 
 
-def length(x: jax.Array, eps: float = 1e-20) -> jax.Array:
-    """Safe L2 norm over the last axis; sqrt clamped away from 0."""
+def length(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Safe L2 norm over the last axis; sqrt clamped away from 0.
+
+    Floor is 1e-12 on the *squared* norm (norm ≥ 1e-6), bounding the
+    normalize Jacobian at ~1e6.  The reference's 1e-20 floor admits 1e10
+    Jacobian factors, whose products overflow f32 to inf in chained
+    normalizations (e.g. half-vector of near-opposite directions) and then
+    poison gradients through 0·inf = NaN."""
     return jnp.sqrt(jnp.clip(dot(x, x), min=eps))
 
 
-def safe_normalize(x: jax.Array, eps: float = 1e-20) -> jax.Array:
+def safe_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """Normalize over last axis, safe at 0 (reference ``util.safe_normalize``)."""
     return x / length(x, eps)
 
@@ -173,9 +179,13 @@ def pixel_grid(width: int, height: int, dtype=jnp.float32) -> jax.Array:
 
 def dir_to_latlong_uv(d: jax.Array) -> jax.Array:
     """Direction → lat-long uv.  Matches the reference convention
-    ``envsampling/kernel.cu:124-129`` (``u = atan2(x, -z)/2π + 0.5``)."""
+    ``envsampling/kernel.cu:124-129`` (``u = atan2(x, -z)/2π + 0.5``).
+
+    The clip stays 1e-6 inside ±1: d(arccos)/dy → ∞ at the poles, and rays
+    sampled exactly along ±y would otherwise send inf gradients back through
+    the light-pdf MIS weight into shading normals and positions."""
     u = jnp.arctan2(d[..., 0:1], -d[..., 2:3]) / (2.0 * math.pi) + 0.5
-    v = jnp.arccos(jnp.clip(d[..., 1:2], -1.0, 1.0)) / math.pi
+    v = jnp.arccos(jnp.clip(d[..., 1:2], -1.0 + 1e-6, 1.0 - 1e-6)) / math.pi
     return jnp.concatenate([u, v], axis=-1)
 
 

@@ -89,6 +89,20 @@ def rasterize(
     v_clip: (V, 4) clip-space positions.  faces: (F, 3) int32 (degenerate /
     padded faces never cover).  resolution: (H, W).
     """
+    return rasterize_peel(v_clip, faces, resolution, chunk=chunk, n_layers=1)[0]
+
+
+def rasterize_peel(
+    v_clip: jax.Array,
+    faces: jax.Array,
+    resolution: tuple[int, int],
+    chunk: int = 128,
+    n_layers: int = 1,
+) -> list[Rast]:
+    """Depth-peeled rasterization: the k-th result is the k-th nearest
+    surface per pixel (nvdiffrast ``DepthPeeler.rasterize_next_layer``,
+    ref ``render/render.py:377-394`` / use_img_2nd_layer losses).  A single
+    scan maintains the n_layers closest (depth, id) pairs."""
     h, w = resolution
     f = faces.shape[0]
     pad = (-f) % chunk
@@ -109,7 +123,7 @@ def rasterize(
     area_safe = jnp.where(nonzero, area2, 1.0)
 
     def body(carry, idx):
-        best_z, best_id = carry
+        zs, ids = carry  # each: tuple of (P,) per layer, sorted ascending z
         sl = lambda t: jax.lax.dynamic_slice_in_dim(t, idx * chunk, chunk, axis=0)
         ca, cb, cc = sl(a), sl(b), sl(c)
         e = (
@@ -124,28 +138,47 @@ def rasterize(
         depth = (sb * sl(z)[None, :, :]).sum(-1)
         cover = cover & (depth >= -1.0) & (depth <= 1.0)
         depth = jnp.where(cover, depth, _BIG)  # (P, chunk)
-        k = jnp.argmin(depth, axis=-1)
-        zk = jnp.take_along_axis(depth, k[:, None], axis=-1)[:, 0]
-        idk = (idx * chunk + k).astype(jnp.int32)
-        better = zk < best_z
-        return (
-            jnp.where(better, zk, best_z),
-            jnp.where(better, idk, best_id),
-        ), None
 
-    init = (jnp.full((h * w,), _BIG), jnp.full((h * w,), -1, jnp.int32))
-    (best_z, best_id), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        # take the n_layers best within this chunk, then merge with carry
+        new_zs, new_ids = list(zs), list(ids)
+        for _layer in range(n_layers):
+            k = jnp.argmin(depth, axis=-1)
+            zk = jnp.take_along_axis(depth, k[:, None], axis=-1)[:, 0]
+            idk = (idx * chunk + k).astype(jnp.int32)
+            # knock out the taken triangle for the next within-chunk pick
+            depth = depth.at[jnp.arange(depth.shape[0]), k].set(_BIG)
+            # insertion into the sorted carry lists
+            cand_z, cand_id = zk, idk
+            for l in range(n_layers):
+                better = cand_z < new_zs[l]
+                nz = jnp.where(better, cand_z, new_zs[l])
+                ni = jnp.where(better, cand_id, new_ids[l])
+                cand_z = jnp.where(better, new_zs[l], cand_z)
+                cand_id = jnp.where(better, new_ids[l], cand_id)
+                new_zs[l], new_ids[l] = nz, ni
+        return (tuple(new_zs), tuple(new_ids)), None
 
-    hit = best_id >= 0
-    tri_id = jnp.where(hit, best_id + 1, 0).reshape(h, w)
-    zbuf = jnp.where(hit, best_z, _BIG).reshape(h, w)
-    bary = _recompute_bary(v_clip, faces, tri_id.reshape(-1), px, py, h, w)
-    bary = bary.reshape(h, w, 2)
-    return Rast(
-        tri_id=jax.lax.stop_gradient(tri_id),
-        bary=jax.lax.stop_gradient(bary),
-        zbuf=jax.lax.stop_gradient(zbuf),
+    init = (
+        tuple(jnp.full((h * w,), _BIG) for _ in range(n_layers)),
+        tuple(jnp.full((h * w,), -1, jnp.int32) for _ in range(n_layers)),
     )
+    (zs, ids), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+
+    outs = []
+    for l in range(n_layers):
+        best_z, best_id = zs[l], ids[l]
+        hit = best_id >= 0
+        tri_id = jnp.where(hit, best_id + 1, 0).reshape(h, w)
+        zbuf = jnp.where(hit, best_z, _BIG).reshape(h, w)
+        bary = _recompute_bary(v_clip, faces, tri_id.reshape(-1), px, py, h, w)
+        outs.append(
+            Rast(
+                tri_id=jax.lax.stop_gradient(tri_id),
+                bary=jax.lax.stop_gradient(bary.reshape(h, w, 2)),
+                zbuf=jax.lax.stop_gradient(zbuf),
+            )
+        )
+    return outs
 
 
 def _recompute_bary(v_clip, faces, tri_id, px, py, h, w):
@@ -310,7 +343,9 @@ def antialias(
         # Edge crossing on the lead→other segment: sign flips + → −.
         crossing = (e_lead > 0.0) & (e_other < 0.0)
         denom = e_lead - e_other
-        denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        # Edge-function values are in pixel² units; a 1e-3 floor keeps the
+        # O(1/denom²) backward finite with no visible effect on s.
+        denom = jnp.where(jnp.abs(denom) > 1e-3, denom, 1.0)
         s_all = jnp.where(crossing, e_lead / denom, _BIG)
         s = jnp.min(s_all, axis=-1)
         has_edge = differs & (s <= 1.0)

@@ -140,25 +140,37 @@ def _cosine_pdf(n, wi):
 
 
 def bsdf_pdf(p_diffuse, n, wo, wi, alpha):
-    """Mixture pdf of the BSDF sampling strategy (ref kernel.cu:374-397)."""
+    """Mixture pdf of the BSDF sampling strategy (ref kernel.cu:374-397).
+
+    Each lobe term is gated with ``where`` rather than multiplied by a
+    possibly-zero weight: where *selects* in the VJP, so an inf Jacobian
+    inside the unused lobe cannot produce 0·inf = NaN gradients (the update_pdf
+    b>1e-6 guard in the reference kernel plays the same role)."""
     n_dot_l = dot(n, wi)
     n_dot_v = dot(n, wo)
     degenerate = jnp.minimum(n_dot_v, n_dot_l) < 1e-6
-    pdf = p_diffuse * _cosine_pdf(n, wi) + (1.0 - p_diffuse) * ggx_pdf(n, wo, wi, alpha)
-    return jnp.where(degenerate, 1.0, pdf)
+    p_spec = 1.0 - p_diffuse
+    diff_term = jnp.where(p_diffuse > 1e-6, p_diffuse * _cosine_pdf(n, wi), 0.0)
+    spec_term = jnp.where(p_spec > 1e-6, p_spec * ggx_pdf(n, wo, wi, alpha), 0.0)
+    return jnp.where(degenerate, 1.0, diff_term + spec_term)
 
 
-def bsdf_sample(p_diffuse, n, wo, sx, sy, sz, alpha):
+def bsdf_sample(p_diffuse, n, wo, sx, sy, sz, alpha, diffuse_only: bool = False):
     """Sample the diffuse/specular lobe mixture (ref kernel.cu:334-372).
-    Returns (wi, pdf)."""
+    Returns (wi, pdf).  ``diffuse_only`` statically skips the GGX lobe
+    (params.BSDF 1/2 in the reference kernel never touches it)."""
     wi_d, pdf_d = cosine_sample(n, sx, sy)
-    pdf_d = pdf_d[..., None]
+    if diffuse_only:
+        return wi_d, jnp.maximum(pdf_d[..., None], 1e-6)
     wi_s, pdf_s = ggx_sample(n, wo, sx, sy, alpha)
 
     take_diffuse = (sz < p_diffuse[..., 0])[..., None]
     wi = jnp.where(take_diffuse, wi_d, wi_s)
-    # Full mixture pdf at the chosen direction (ref update_pdf logic).
-    pdf = p_diffuse * _cosine_pdf(n, wi) + (1.0 - p_diffuse) * ggx_pdf(n, wo, wi, alpha)
+    # Full mixture pdf at the chosen direction (ref update_pdf logic);
+    # where-gated terms — see bsdf_pdf.
+    p_spec = 1.0 - p_diffuse
+    pdf = jnp.where(p_diffuse > 1e-6, p_diffuse * _cosine_pdf(n, wi), 0.0)
+    pdf = pdf + jnp.where(p_spec > 1e-6, p_spec * ggx_pdf(n, wo, wi, alpha), 0.0)
     # Degenerate diffuse case (pDiffuse ≈ 0 but chosen): return normal, pdf 1
     degen = take_diffuse & (p_diffuse < 1e-4)
     wi = jnp.where(degen, n, wi)
@@ -329,13 +341,19 @@ def env_shade(
         lu = jnp.mod((sx_i + u[:, 0]) * strata + rot[:, 0], 1.0)
         lv = jnp.mod((sy_i + u[:, 1]) * strata + rot[:, 1], 1.0)
         ray_dir, pdf_l = sample_light(light, lu, lv)
-        pdf_b = bsdf_pdf(p_diffuse, gb_normal, wo, ray_dir, alpha)
+        if diffuse_only:
+            pdf_b = _cosine_pdf(gb_normal, ray_dir)
+        else:
+            pdf_b = bsdf_pdf(p_diffuse, gb_normal, wo, ray_dir, alpha)
         d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, shadow(ray_dir))
 
         # --- strategy 2: BSDF sampling (ref :521-529)
         bu = jnp.mod((sx_i + u[:, 2]) * strata + rot[:, 2], 1.0)
         bv = jnp.mod((sy_i + u[:, 3]) * strata + rot[:, 3], 1.0)
-        ray_dir2, pdf_b2 = bsdf_sample(p_diffuse, gb_normal, wo, bu, bv, u[:, 4], alpha)
+        ray_dir2, pdf_b2 = bsdf_sample(
+            p_diffuse, gb_normal, wo, bu, bv, u[:, 4], alpha,
+            diffuse_only=diffuse_only,
+        )
         pdf_l2 = light_pdf(light, ray_dir2)
         d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, shadow(ray_dir2))
 

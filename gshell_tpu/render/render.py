@@ -214,3 +214,30 @@ def render_mesh(
     buffers["visible_vert_mask"] = vis_vert
 
     return buffers
+
+
+def render_uv(
+    v_tex: jax.Array,
+    t_tex_idx: jax.Array,
+    v_pos: jax.Array,
+    t_pos_idx: jax.Array,
+    resolution: tuple[int, int],
+    mat_params: MLPTexture3DParams,
+    mat_cfg: MLPTexture3DConfig,
+    raster_chunk: int = 256,
+):
+    """Bake the neural material into a UV texture atlas
+    (ref ``render/render.py:449-466`` render_uv): rasterize the mesh in UV
+    space, interpolate world positions, sample the MLP texture.
+
+    Returns (mask (H,W,1), kd (H,W,3), ks (H,W,3))."""
+    uv_clip = v_tex * 2.0 - 1.0
+    uv_clip4 = jnp.concatenate(
+        [uv_clip, jnp.zeros_like(uv_clip[..., :1]), jnp.ones_like(uv_clip[..., :1])],
+        axis=-1,
+    )
+    rast = rasterize(uv_clip4, t_tex_idx, resolution, chunk=raster_chunk)
+    gb_pos = interpolate(v_pos, rast, t_pos_idx)
+    all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos)
+    mask = (rast.tri_id > 0).astype(jnp.float32)[..., None]
+    return mask, all_tex[..., 0:3], all_tex[..., 3:6]

@@ -156,6 +156,20 @@ class Reconstructor:
         (total, (img_loss, reg_loss, aux)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(state.params_geo, state.params_mat, state.light_base)
+        # Gradient sanitization: Monte-Carlo rendering occasionally produces
+        # non-finite gradients on isolated elements (grazing rays, degenerate
+        # silhouette crossings).  Zero them instead of poisoning Adam moments,
+        # and surface the count as a metric for observability.
+        bad_count = 0
+        def _sanitize(g):
+            nonlocal bad_count
+            def fix(x):
+                nonlocal bad_count
+                finite = jnp.isfinite(x)
+                bad_count = bad_count + (~finite).sum()
+                return jnp.where(finite, x, 0.0)
+            return jax.tree_util.tree_map(fix, g)
+        grads = tuple(_sanitize(g) for g in grads)
         g_geo, g_mat, g_lgt = grads
 
         upd, opt_geo = self.tx_geo.update(g_geo, state.opt_geo, state.params_geo)
@@ -178,7 +192,13 @@ class Reconstructor:
             opt_lgt=opt_lgt,
             step=it + 1,
         )
-        metrics = {"total": total, "img_loss": img_loss, "reg_loss": reg_loss, **aux}
+        metrics = {
+            "total": total,
+            "img_loss": img_loss,
+            "reg_loss": reg_loss,
+            "nonfinite_grads": bad_count,
+            **aux,
+        }
         return new_state, metrics
 
 
