@@ -40,12 +40,10 @@ class MLPConfig(NamedTuple):
 def init_mlp(key: jax.Array, cfg: MLPConfig, dtype=jnp.float32) -> dict:
     d_emb = embed_dim(cfg.in_channels, cfg.n_freq)
     dims = []
-    d_prev = d_emb
     for i in range(cfg.n_hidden):
-        d_in = d_prev + (d_emb if i in cfg.skip_in else 0)
+        d_in = cfg.d_hidden + (d_emb if i in cfg.skip_in else 0)
         dims.append((d_in, cfg.d_hidden))
-        d_prev = cfg.d_hidden
-    layers = [(d_emb, cfg.d_hidden)] + dims + [(d_prev, cfg.d_out)]
+    layers = [(d_emb, cfg.d_hidden)] + dims + [(cfg.d_hidden, cfg.d_out)]
 
     params = {"w": [], "b": []}
     keys = jax.random.split(key, len(layers))

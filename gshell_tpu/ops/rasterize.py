@@ -131,7 +131,16 @@ def rasterize_peel(
             + cb[None, :, :] * py[:, None, None]
             + cc[None, :, :]
         )  # (P, chunk, 3)
-        cover = ((e >= 0.0).all(-1) | (e <= 0.0).all(-1)) & (
+        # Orientation-normalized edge functions + top-left fill rule so a
+        # pixel exactly on a shared edge is claimed by exactly one triangle
+        # (critical for depth peeling; same role as the hardware rule
+        # nvdiffrast inherits from the GPU rasterizer).
+        s_or = jnp.sign(sl(area2))[None, :, None]
+        eo = e * s_or
+        ao = ca[None, :, :] * s_or
+        bo = cb[None, :, :] * s_or
+        on_edge_ok = (ao > 0.0) | ((ao == 0.0) & (bo > 0.0))
+        cover = ((eo > 0.0) | ((eo == 0.0) & on_edge_ok)).all(-1) & (
             sl(nonzero) & sl(tri_ok)
         )[None, :]
         sb = e / sl(area_safe)[None, :, None]
