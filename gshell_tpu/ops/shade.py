@@ -225,10 +225,13 @@ def make_sdf_visibility(
     (``optix_wrapper.cpp``, ``kernel.cu:101-118``).  Visibility is binary and
     detached, matching the reference's no-boundary-gradient choice.
     """
+    import numpy as np
+
+    # static geometry of the volume — computed with numpy so this works
+    # inside a jit trace (jnp ops would return tracers)
+    diag = float(np.linalg.norm(np.asarray(aabb_size, np.float64)))
     aabb_min = jnp.asarray(aabb_min)
-    aabb_size = jnp.asarray(aabb_size)
-    aabb_scale = 1.0 / aabb_size
-    diag = float(jnp.linalg.norm(aabb_size))
+    aabb_scale = 1.0 / jnp.asarray(aabb_size)
     r = sdf_grid.shape[0] - 1
     vox = diag / max(r, 1)
     t0 = t_min_vox * vox

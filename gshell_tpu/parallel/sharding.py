@@ -28,6 +28,21 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis_name,))
 
 
+def init_multihost(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):
+    """Multi-host initialization (DCN between slices) — the counterpart of
+    ``dist.init_process_group('nccl')`` + torchrun env plumbing
+    (``trainer_ddp.py:30-37``).  With TPU pod metadata available this is a
+    bare ``jax.distributed.initialize()``; arguments are for manual setups."""
+    if coordinator is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Batch-dim sharding for input batches."""
     return NamedSharding(mesh, P(axis_name))

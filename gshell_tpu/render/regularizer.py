@@ -77,6 +77,35 @@ def laplace_regularizer_const(v_pos, t_pos_idx, face_mask=None):
     return jnp.mean(term**2)
 
 
+def normal_consistency(v_pos, t_pos_idx, face_mask=None):
+    """Dihedral-angle smoothness over shared edges (ref :101-125).
+
+    Static-shape formulation: instead of the reference's edge→face hash map,
+    accumulate per-edge the two adjacent face normals by scatter (every
+    interior edge is referenced by exactly two faces; padded faces excluded)."""
+    from ..ops.mesh_ops import face_normals as _fn
+
+    fn = _fn(v_pos, t_pos_idx)
+    if face_mask is not None:
+        fn = fn * face_mask[:, None]
+    f = t_pos_idx
+    # edge key = sorted vertex pair hashed into segment ids per face edge
+    e = jnp.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+    lo = jnp.minimum(e[:, 0], e[:, 1]).astype(jnp.int64)
+    hi = jnp.maximum(e[:, 0], e[:, 1]).astype(jnp.int64)
+    key = lo * v_pos.shape[0] + hi
+    order = jnp.argsort(key)
+    fidx = jnp.tile(jnp.arange(f.shape[0]), 3)[order]
+    key_s = key[order]
+    # neighbor pairs: consecutive equal keys
+    same = key_s[1:] == key_s[:-1]
+    n0 = fn[fidx[:-1]]
+    n1 = fn[fidx[1:]]
+    d = jnp.clip(jnp.sum(n0 * n1, -1), -1.0, 1.0)
+    term = (1.0 - d) * 0.5 * same
+    return term.sum() / jnp.maximum(same.sum(), 1)
+
+
 def sdf_reg_loss(sdf, grid_edges):
     """SDF sign-consistency BCE across grid edges
     (ref ``geometry/gshell_tets_geometry.py:33-39``); masked mean over
