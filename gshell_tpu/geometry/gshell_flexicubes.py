@@ -298,12 +298,27 @@ class GShellFlexiCubes:
         nu_center_sg = jnp.where(quad_good, nu_center_sg, 0.0)
 
         c_ids = center0 + jnp.arange(ME, dtype=jnp.int32)
-        # 4 triangles per quad: (q_j, q_{j+1}, center)
-        nxt = jnp.asarray([1, 2, 3, 0])
-        faces_wt = jnp.stack(
-            [quad, quad[:, nxt], jnp.broadcast_to(c_ids[:, None], (ME, 4))], axis=-1
-        ).reshape(ME * 4, 3)
-        face_wt_valid = jnp.repeat(quad_good, 4)
+        if training:
+            # 4 triangles per quad: (q_j, q_{j+1}, center) (ref :523-551)
+            nxt = jnp.asarray([1, 2, 3, 0])
+            faces_wt = jnp.stack(
+                [quad, quad[:, nxt], jnp.broadcast_to(c_ids[:, None], (ME, 4))],
+                axis=-1,
+            ).reshape(ME * 4, 3)
+            face_wt_valid = jnp.repeat(quad_good, 4)
+        else:
+            # eval: split along the γ-preferred diagonal, 2 triangles
+            # (ref :517-522, quad_split_1/quad_split_2); slots 2-3 padded.
+            s1 = quad[:, jnp.asarray(ft.QUAD_SPLIT_1)].reshape(ME, 2, 3)
+            s2 = quad[:, jnp.asarray(ft.QUAD_SPLIT_2)].reshape(ME, 2, 3)
+            pick1 = (g02 > g13)[:, None, None]
+            two = jnp.where(pick1, s1, s2)  # (ME, 2, 3)
+            pad = jnp.full((ME, 2, 3), SENT, jnp.int32)
+            faces_wt = jnp.concatenate([two, pad], axis=1).reshape(ME * 4, 3)
+            face_wt_valid = jnp.concatenate(
+                [jnp.repeat(quad_good[:, None], 2, 1), jnp.zeros((ME, 2), bool)],
+                axis=1,
+            ).reshape(-1)
         faces_wt = jnp.where(face_wt_valid[:, None], faces_wt, SENT)
 
         # watertight vertex buffer: [vd | sentinel | centers]
