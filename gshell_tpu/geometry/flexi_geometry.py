@@ -98,10 +98,15 @@ class GShellFlexiGeometry:
         cfg = self.cfg
         mesh = self.get_mesh(params, training=True)
         v_def, sdf, msdf = self.fields(params)
+        from ..ops.mesh_ops import compact_faces
+
+        faces_c, fvalid_c, n_faces = compact_faces(
+            mesh.faces, mesh.face_valid, cap=4 * self.extractor.max_edges
+        )
 
         keys = jax.random.split(key, target["mvp"].shape[0])
         render_one = lambda k, mvp, campos, bg: render_mesh(
-            k, mesh.verts, mesh.faces, mesh.v_nrm, mesh.msdf,
+            k, mesh.verts, faces_c, mesh.v_nrm, mesh.msdf,
             mat_params, mat_cfg, mvp, campos, light, flags,
             background=bg, visibility_fn=visibility_fn,
             shadow_scale=shadow_scale, denoiser_sigma=denoiser_sigma,
@@ -167,6 +172,7 @@ class GShellFlexiGeometry:
         reg_loss = sdf_reg + msdf_reg + shading_reg + l_dev_loss
         aux = {
             "n_surf_cubes": mesh.n_surf_cubes,
+            "n_faces": n_faces,
             "l_dev": mesh.l_dev,
             "sdf_reg": sdf_reg,
             "msdf_reg": msdf_reg,

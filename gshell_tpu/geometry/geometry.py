@@ -186,6 +186,13 @@ class GShellGeometry:
         cfg = self.cfg
         v_def, sdf, msdf = self.fields(params)
         mesh = self.extractor(v_def, sdf, msdf, watertight_template=True)
+        # Compact the slot-addressed face buffer (4 slots/tet, ~2.2 real)
+        # before rasterization — the coverage scan costs per SLOT.
+        from ..ops.mesh_ops import compact_faces
+
+        faces_c, fvalid_c, n_faces = compact_faces(
+            mesh.faces, mesh.face_valid, cap=self.extractor.max_tets
+        )
 
         keys = jax.random.split(key, target["mvp"].shape[0] + 2)
         k_render, k_eik = keys[:-2], keys[-2]
@@ -193,7 +200,7 @@ class GShellGeometry:
         render_one = lambda k, mvp, campos, bg: render_mesh(
             k,
             mesh.verts,
-            mesh.faces,
+            faces_c,
             mesh.v_nrm,
             mesh.msdf,
             mat_params,
@@ -234,9 +241,9 @@ class GShellGeometry:
             pts = sample_surface(
                 k_eik,
                 jax.lax.stop_gradient(mesh.verts),
-                mesh.faces,
+                faces_c,
                 cfg.n_eikonal_samples,
-                face_mask=mesh.face_valid,
+                face_mask=fvalid_c,
             )
             if cfg.eikonal_scale is None:
                 eik_coeff = jnp.where(
@@ -313,6 +320,7 @@ class GShellGeometry:
         reg_loss = sdf_reg + eik_loss + msdf_reg + shading_reg
         aux = {
             "n_valid_tets": mesh.n_valid_tets,
+            "n_faces": n_faces,
             "n_crossing_edges": mesh.n_crossing_edges,
             "sdf_reg": sdf_reg,
             "eik_loss": eik_loss,

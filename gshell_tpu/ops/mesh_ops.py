@@ -106,6 +106,21 @@ def face_areas(v_pos: jax.Array, t_pos_idx: jax.Array) -> jax.Array:
     return 0.5 * jnp.sqrt(jnp.clip(jnp.sum(n * n, axis=-1), min=1e-20))
 
 
+def compact_faces(faces: jax.Array, face_valid: jax.Array, cap: int):
+    """Gather valid faces to the front of a ``cap``-slot buffer.
+
+    The slot-addressed extractors emit mostly-padding face buffers (4 slots
+    per tet, ~2.2 used on average); rasterization cost scales with *slots*,
+    so compacting to a tight static capacity before rendering cuts the
+    coverage scan ~4×.  Overflowing faces (beyond ``cap``) are dropped —
+    monitor via the returned count."""
+    (idx,) = jnp.nonzero(face_valid, size=cap, fill_value=0)
+    n = face_valid.sum()
+    valid_c = jnp.arange(cap) < n
+    fc = jnp.where(valid_c[:, None], faces[idx], 0)
+    return fc, valid_c, n
+
+
 def sample_surface(
     key: jax.Array,
     v_pos: jax.Array,

@@ -29,7 +29,13 @@ from ..ops import bsdf as bsdf_ops
 from ..ops.denoiser import bilateral_denoiser
 from ..ops.math import safe_normalize, xfm_points
 from ..ops.mesh_ops import face_normals as compute_face_normals
-from ..ops.rasterize import antialias, bary_screen_derivs, interpolate, rasterize
+from ..ops.rasterize import (
+    antialias,
+    bary_screen_derivs,
+    interpolate,
+    rasterize,
+    rasterize_tiled,
+)
 from ..ops.shade import env_shade
 from .light import EnvLight
 from .material import MLPTexture3DConfig, MLPTexture3DParams, sample_mlp_texture
@@ -43,6 +49,11 @@ class RenderFlags(NamedTuple):
     use_denoiser: bool = True
     raster_chunk: int = 256
     jitter_std: float = 0.01  # world-space material jitter (ref render.py:68)
+    # tiled (binned) rasterization — use for large face counts / resolutions
+    tiled_raster: bool = False
+    tile_size: int = 16
+    max_pairs: int | None = None
+    max_per_tile: int = 512
 
 
 def render_mesh(
@@ -70,7 +81,13 @@ def render_mesh(
 
     # ---- geometry pass ------------------------------------------------
     v_clip = xfm_points(verts, mvp)
-    rast = rasterize(v_clip, faces, (h, w), chunk=flags.raster_chunk)
+    if flags.tiled_raster:
+        rast = rasterize_tiled(
+            v_clip, faces, (h, w), tile=flags.tile_size,
+            max_pairs=flags.max_pairs, max_per_tile=flags.max_per_tile,
+        )
+    else:
+        rast = rasterize(v_clip, faces, (h, w), chunk=flags.raster_chunk)
     mask = (rast.tri_id > 0).astype(jnp.float32)[..., None]  # (H, W, 1)
 
     gb_pos = interpolate(verts, rast, faces, v_clip=v_clip)

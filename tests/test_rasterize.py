@@ -156,3 +156,39 @@ def test_camera_sphere_render():
     r_ndc = 0.35 / (2.0 * np.tan(np.deg2rad(22.5)))
     expect = np.pi * r_ndc**2 / 4.0  # ndc area is [-1,1]² = 4
     assert abs(frac - expect) / expect < 0.15
+
+
+def test_tiled_matches_bruteforce():
+    from gshell_tpu.ops.rasterize import rasterize_tiled
+
+    n_lat, n_lon = 12, 18
+    th = np.linspace(0, np.pi, n_lat)
+    ph = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    pts = np.stack(
+        [np.sin(tt) * np.cos(pp), np.cos(tt), np.sin(tt) * np.sin(pp)], -1
+    ).reshape(-1, 3) * 0.35
+    idx = lambda i, j: i * n_lon + (j % n_lon)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            faces.append([idx(i, j), idx(i + 1, j), idx(i + 1, j + 1)])
+            faces.append([idx(i, j), idx(i + 1, j + 1), idx(i, j + 1)])
+    faces = jnp.asarray(np.array(faces, np.int32))
+    pts = jnp.asarray(pts.astype(np.float32))
+    proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 10.0)
+    view = gmath.lookat(jnp.array([0.0, 0.0, 2.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    v_clip = gmath.xfm_points(pts, proj @ view)
+
+    r_b = rasterize(v_clip, faces, (H, W), chunk=256)
+    r_t = rasterize_tiled(v_clip, faces, (H, W), tile=16, max_per_tile=128)
+    ids_b = np.asarray(r_b.tri_id)
+    ids_t = np.asarray(r_t.tri_id)
+    # coverage must match everywhere; ids equal except z-ties
+    np.testing.assert_array_equal(ids_b > 0, ids_t > 0)
+    frac_same = (ids_b == ids_t).mean()
+    assert frac_same > 0.995, f"tiled ids differ too much: {frac_same}"
+    zb = np.asarray(r_b.zbuf)
+    zt = np.asarray(r_t.zbuf)
+    m = ids_b > 0
+    np.testing.assert_allclose(zb[m], zt[m], atol=1e-4)
