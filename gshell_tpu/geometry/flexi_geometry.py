@@ -60,6 +60,37 @@ class GShellFlexiGeometry:
         params["msdf"] = jnp.clip(jax.random.uniform(k2, (n,)) - 0.01, -1.0, 1.0)
         return params
 
+    def pretrain_sdf(self, params: dict, steps: int = 1000, lr: float = 1e-3) -> dict:
+        """Sphere-init the SDF MLP.  FlexiCubes convention: inside < 0, so the
+        target is +(|x| − r) directly (cf. GShellGeometry.pretrain_sdf)."""
+        if not self.cfg.use_sdf_mlp:
+            return params
+        import optax
+
+        cfg = self.cfg
+        verts = self.verts
+        scaled = verts / self.boxscale
+        target = (
+            jnp.linalg.norm(scaled, axis=-1, keepdims=True) - cfg.sphere_init_norm
+        )
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def step(p, s):
+            def loss_fn(p):
+                out = apply_mlp(p, verts, cfg.mlp)
+                return jnp.mean((out - target) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
+            upd, s = opt.update(g, s)
+            return optax.apply_updates(p, upd), s, loss
+
+        net = params["sdf_net"]
+        state = opt.init(net)
+        for _ in range(steps):
+            net, state, _ = step(net, state)
+        return {**params, "sdf_net": net}
+
     def fields(self, params: dict):
         v_def = self.verts + self.max_displacement * params["deform"]
         if self.cfg.use_sdf_mlp:

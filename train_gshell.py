@@ -78,7 +78,18 @@ def main():
         use_eikonal=flags.use_eikonal,
         total_iters=flags.iter,
     )
-    geo = GShellGeometry(gcfg)
+    if flags.use_flexicubes or args.flexicubes:
+        from gshell_tpu.geometry.flexi_geometry import (
+            FlexiGeometryConfig,
+            GShellFlexiGeometry,
+        )
+
+        fcfg = FlexiGeometryConfig(
+            **{**gcfg.__dict__, "grid_res": flags.voxel_grid}
+        )
+        geo = GShellFlexiGeometry(fcfg)
+    else:
+        geo = GShellGeometry(gcfg)
 
     aabb = np.asarray(flags.aabb, np.float32).reshape(2, 3)
     mat_cfg = MLPTexture3DConfig(
@@ -111,8 +122,25 @@ def main():
             os.path.join(flags.ref_mesh, "transforms_train.json"),
             train_res=tuple(flags.train_res),
         )
+    elif flags.ref_mesh and flags.ref_mesh.endswith(".obj"):
+        # synthetic supervision from a reference OBJ (twin of
+        # train_gshelltet_synthetic.py / dataset_mesh.py)
+        from gshell_tpu.data.datasets import DatasetMesh
+        from gshell_tpu.render.light import create_trainable_env_rnd
+        from gshell_tpu.render.material import init_mlp_texture
+        from gshell_tpu.render.mesh import load_obj, unit_size
+
+        gt_mesh = unit_size(load_obj(flags.ref_mesh))
+        gt_light = create_trainable_env_rnd(jax.random.PRNGKey(42), 256)
+        gt_mat = init_mlp_texture(jax.random.PRNGKey(43), mat_cfg)
+        ds = DatasetMesh(
+            gt_mesh, gt_light, gt_mat, mat_cfg, rflags, n_views=64
+        )
     else:
-        raise SystemExit("need --trainset-path (DeepFashion) or --ref-mesh (NeRF dir)")
+        raise SystemExit(
+            "need --trainset-path (DeepFashion), --ref-mesh dir (NeRF), or "
+            "--ref-mesh file.obj (synthetic)"
+        )
 
     key = jax.random.PRNGKey(0)
     state = rec.init_state(key, pretrain_steps=flags.sdf_mlp_pretrain_steps)
@@ -126,10 +154,11 @@ def main():
             jax.block_until_ready(m["total"])
             t_hist.append(time.time() - t0)
             rem = (flags.iter - it) * np.mean(t_hist[-10:])
+            n_active = m.get("n_valid_tets", m.get("n_surf_cubes", 0))
             print(
                 f"iter={it:5d}, img_loss={float(m['img_loss']):.6f}, "
                 f"reg_loss={float(m['reg_loss']):.6f}, "
-                f"ntets={int(m['n_valid_tets'])}, time={t_hist[-1]*1000:.1f} ms, "
+                f"nactive={int(n_active)}, time={t_hist[-1]*1000:.1f} ms, "
                 f"rem={rem/60:.1f} min",
                 flush=True,
             )
