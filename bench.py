@@ -54,6 +54,9 @@ def main():
         bsdf="pbr",
         use_denoiser=not quick,
         raster_chunk=512,
+        # binned raster: at 512²×10⁵ faces the O(P·F) scan is ~40× more work
+        tiled_raster=not quick,
+        max_per_tile=1024,
     )
     tcfg = TrainConfig(batch=batch, use_shadows=True)
     rec = Reconstructor(geo, mat_cfg, flags, tcfg)

@@ -404,7 +404,8 @@ def env_shade(
 
         return (d_acc + d1 + d2, s_acc + s1 + s2)
 
-    init = (jnp.zeros((p, 3)), jnp.zeros((p, 3)))
+    # derive the carry from an input so shard_map varying-axis tracking works
+    init = (jnp.zeros_like(gb_pos), jnp.zeros_like(gb_pos))
     body = jax.checkpoint(sample_step, prevent_cse=False)
     diff_acc, spec_acc = jax.lax.fori_loop(0, n2, body, init)
 
