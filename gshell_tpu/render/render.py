@@ -202,9 +202,14 @@ def render_mesh(
     comp_rgba = jnp.concatenate([comp, mask], axis=-1)
     shaded = antialias(comp_rgba, rast, v_clip, faces)
 
+    # inverse depth (ref render.py:180, used by the use_depth losses)
+    dist = jnp.sqrt(jnp.clip(jnp.sum((gb_pos - view_pos) ** 2, -1, keepdims=True), min=1e-12))
+    invdepth = (1.0 / dist) * mask
+
     buffers = {
         "shaded": shaded,
         "mask": mask,
+        "invdepth": jnp.concatenate([invdepth, jnp.ones_like(alpha)], -1),
         "kd": jnp.concatenate([kd * mask, alpha], -1),
         "ks": jnp.concatenate([ks * mask, alpha], -1),
         "kd_grad": jnp.concatenate([kd_grad, alpha], -1),

@@ -164,12 +164,29 @@ def test_hashgrid_shapes_and_grads():
     assert float(jnp.abs(y2 - y).max()) < 1e-2
 
 
+def test_denoiser_grad_memory_free():
+    # custom VJP: grads flow to color only (reference denoising.cu backward)
+    h = w = 16
+    col = jnp.ones((h, w, 3))
+    nrm = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (h, w, 1))
+    zdz = jnp.concatenate([jnp.ones((h, w, 1)), jnp.full((h, w, 1), 1e-3)], -1)
+
+    def f(c, n):
+        return bilateral_denoiser(c, n, zdz, jnp.asarray(1.0), 3).sum()
+
+    gc, gn = jax.grad(f, argnums=(0, 1))(col, nrm)
+    assert np.isfinite(np.asarray(gc)).all()
+    # constant image + normalized filter → d(sum)/d(col) sums to n_pixels
+    np.testing.assert_allclose(float(gc.sum()), h * w * 3, rtol=0.05)
+    assert float(jnp.abs(gn).max()) == 0.0
+
+
 def test_denoiser_smooths():
     key = jax.random.PRNGKey(0)
     h = w = 24
     col = jnp.ones((h, w, 3)) + 0.3 * jax.random.normal(key, (h, w, 3))
     nrm = jnp.tile(jnp.array([0.0, 0.0, 1.0]), (h, w, 1))
     zdz = jnp.concatenate([jnp.ones((h, w, 1)), jnp.full((h, w, 1), 1e-3)], -1)
-    out = bilateral_denoiser(col, nrm, zdz, jnp.asarray(2.0), max_radius=5)
+    out = bilateral_denoiser(col, nrm, zdz, jnp.asarray(2.0), 5)
     assert float(jnp.std(out)) < float(jnp.std(col)) * 0.5
     np.testing.assert_allclose(float(out.mean()), float(col.mean()), rtol=0.05)
