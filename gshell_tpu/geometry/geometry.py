@@ -185,14 +185,19 @@ class GShellGeometry:
         """
         cfg = self.cfg
         v_def, sdf, msdf = self.fields(params)
-        mesh = self.extractor(v_def, sdf, msdf, watertight_template=True)
+        mesh = self.extractor(
+            v_def, sdf, msdf, watertight_template=True, compute_aug_normals=False
+        )
         # Compact the slot-addressed face buffer (4 slots/tet, ~2.2 real)
-        # before rasterization — the coverage scan costs per SLOT.
+        # before rasterization — the coverage scan costs per SLOT — and
+        # compute smooth normals over the compacted faces.
+        from ..ops.mesh_ops import auto_normals as _auto_normals
         from ..ops.mesh_ops import compact_faces
 
         faces_c, fvalid_c, n_faces = compact_faces(
             mesh.faces, mesh.face_valid, cap=self.extractor.max_tets
         )
+        mesh = mesh._replace(v_nrm=_auto_normals(mesh.verts, faces_c, fvalid_c))
 
         keys = jax.random.split(key, target["mvp"].shape[0] + 2)
         k_render, k_eik = keys[:-2], keys[-2]

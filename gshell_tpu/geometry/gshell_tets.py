@@ -133,6 +133,7 @@ class GShellTets:
         sdf: jax.Array,
         msdf: jax.Array,
         watertight_template: bool = True,
+        compute_aug_normals: bool = True,
     ) -> GShellMesh:
         """Extract the open-surface mesh.  Fully jittable.
 
@@ -303,7 +304,13 @@ class GShellTets:
         v_tng_aug = jnp.concatenate([v_tng_t, b_tng], axis=0)
         msdf_aug = jnp.concatenate([msdf_sg_buf, b_msdf], axis=0)
 
-        v_nrm_aug = auto_normals(verts_aug, faces_aug, face_valid)
+        # Optional: callers that compact the face buffer first (train tick)
+        # compute normals over the compacted faces instead — segment-summing
+        # the 4·MT mostly-padding slots is the extractor's largest cost.
+        if compute_aug_normals:
+            v_nrm_aug = auto_normals(verts_aug, faces_aug, face_valid)
+        else:
+            v_nrm_aug = jnp.zeros_like(verts_aug)
 
         return GShellMesh(
             verts=verts_aug,
