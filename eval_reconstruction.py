@@ -1,0 +1,120 @@
+"""Evaluate a fitted reconstruction: held-out PSNR table + Chamfer distance.
+
+Twin of the reference validation flow (``train_gshelltet_deepfashion.py:227-272``
+validate → metrics.txt) plus the DeepFashion3D Chamfer check (BASELINE.md).
+
+Usage:
+  python eval_reconstruction.py --state out/df30/state.pkl \
+      --config configs/deepfashion_mc_256.json \
+      --testset-path /data/df3d_test/30 --gt-mesh /data/df3d/30/gt.obj \
+      --out-dir out/df30/validate
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--state", type=str, required=True)
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--testset-path", type=str, default=None)
+    p.add_argument("--gt-mesh", type=str, default=None)
+    p.add_argument("--out-dir", type=str, default="out/validate")
+    p.add_argument("--n-views", type=int, default=None)
+    args = p.parse_args()
+
+    from gshell_tpu.data.datasets import DatasetDeepFashionTestset, DatasetDeepFashion
+    from gshell_tpu.geometry.geometry import GeometryConfig, GShellGeometry
+    from gshell_tpu.geometry.mlp import MLPConfig
+    from gshell_tpu.render.light import update_pdf
+    from gshell_tpu.render.material import MLPTexture3DConfig, default_kd_ks_min_max
+    from gshell_tpu.render.render import RenderFlags, render_mesh
+    from gshell_tpu.train.validate import chamfer_distance, validate
+    from gshell_tpu.utils.config import load_flags
+
+    flags = load_flags(args.config)
+    with open(args.state, "rb") as f:
+        state = pickle.load(f)
+    params_geo = state.params_geo if hasattr(state, "params_geo") else state["params_geo"]
+    params_mat = state.params_mat if hasattr(state, "params_mat") else state["params_mat"]
+    light_base = state.light_base if hasattr(state, "light_base") else state["light_base"]
+
+    gcfg = GeometryConfig(
+        grid_res=flags.gshell_grid,
+        scale=flags.mesh_scale,
+        boxscale=tuple(flags.boxscale),
+        use_sdf_mlp=flags.use_sdf_mlp,
+        mlp=MLPConfig(
+            n_freq=flags.n_freq, d_hidden=flags.d_hidden,
+            n_hidden=flags.n_hidden, skip_in=tuple(flags.skip_in),
+        ),
+        total_iters=flags.iter,
+    )
+    geo = GShellGeometry(gcfg)
+    aabb = np.asarray(flags.aabb, np.float32).reshape(2, 3)
+    mat_cfg = MLPTexture3DConfig(
+        channels=6,
+        aabb_min=tuple(aabb[0].tolist()),
+        aabb_max=tuple(aabb[1].tolist()),
+        min_max=default_kd_ks_min_max(
+            flags.kd_min[:3], flags.kd_max[:3], flags.ks_min, flags.ks_max
+        ),
+    )
+    rflags = RenderFlags(
+        resolution=tuple(flags.train_res), n_samples=flags.n_samples,
+        bsdf=flags.bsdf, use_denoiser=flags.denoiser == "bilateral",
+    )
+    light = update_pdf(jnp.asarray(light_base))
+    mesh = jax.jit(geo.get_mesh)(params_geo)
+
+    results = {}
+    if args.testset_path:
+        try:
+            ds = DatasetDeepFashionTestset(
+                args.testset_path,
+                os.path.join(args.testset_path, "masks"),
+                train_res=tuple(flags.train_res),
+            )
+        except Exception:
+            ds = DatasetDeepFashion(args.testset_path, train_res=tuple(flags.train_res))
+
+        @jax.jit
+        def render_batch(batch):
+            def one(k, mvp, campos, bg):
+                return render_mesh(
+                    k, mesh.verts, mesh.faces, mesh.v_nrm, mesh.msdf,
+                    params_mat, mat_cfg, mvp, campos, light, rflags,
+                    background=bg, shadow_scale=0.0,
+                )
+
+            keys = jax.random.split(jax.random.PRNGKey(0), batch["mvp"].shape[0])
+            return jax.vmap(one)(keys, batch["mvp"], batch["campos"], batch["background"])
+
+        metrics = validate(render_batch, ds, out_dir=args.out_dir, n_views=args.n_views)
+        print(f"PSNR: {metrics['psnr']:.3f}  MSE: {metrics['mse']:.6f}")
+        results.update(metrics)
+
+    if args.gt_mesh:
+        from gshell_tpu.render.mesh import load_obj, unit_size
+
+        gt = load_obj(args.gt_mesh)
+        cd = chamfer_distance(
+            jax.random.PRNGKey(1),
+            mesh.verts, mesh.faces, gt.v_pos, gt.t_pos_idx,
+            mask1=mesh.face_valid, n_samples=50000 // 4096 * 4096,
+        )
+        print(f"Chamfer-L2: {float(cd):.6f}")
+        results["chamfer"] = float(cd)
+
+    return results
+
+
+if __name__ == "__main__":
+    main()
