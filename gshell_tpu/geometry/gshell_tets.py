@@ -83,6 +83,29 @@ def _safe_inv_denominator(d: jax.Array, valid: jax.Array) -> jax.Array:
     return sign / mag
 
 
+def map_uv(num_tets: int):
+    """Procedural per-tet UV atlas (ref ``gshell_tets.py:210-239`` map_uv):
+    each tet owns a small square island; its ≤2 template triangles index the
+    island's 4 corners.  Returns (uvs (N²·4, 2), uv_idx (2·num_tets, 3)) for
+    the slot-addressed template face layout (face slot s = 2·tet + tri)."""
+    import math as _math
+
+    n = int(_math.ceil(_math.sqrt(num_tets)))
+    tex = jnp.linspace(0.0, 1.0 - 1.0 / n, n)
+    ty, tx = jnp.meshgrid(tex, tex, indexing="ij")
+    pad = 0.9 / n
+    uvs = jnp.stack(
+        [tx, ty, tx + pad, ty, tx + pad, ty + pad, tx, ty + pad], axis=-1
+    ).reshape(-1, 2)
+
+    t_ids = jnp.arange(num_tets, dtype=jnp.int32)
+    base = t_ids * 4
+    tri0 = jnp.stack([base, base + 1, base + 2], -1)
+    tri1 = jnp.stack([base, base + 2, base + 3], -1)
+    uv_idx = jnp.stack([tri0, tri1], axis=1).reshape(-1, 3)
+    return uvs, uv_idx
+
+
 class GShellTets:
     """Statically-shaped G-Shell marching tets over a :class:`TetGrid`.
 

@@ -114,6 +114,75 @@ def get_pc_sampler(
     return sampler
 
 
+# ----------------------------------------------------------------------------
+# Predictor / corrector zoo (ref sampling.py:189-325 registry)
+# ----------------------------------------------------------------------------
+
+
+def euler_maruyama_step(sde: VPSDE, key, x, eps_pred, timestep, n_total=None):
+    """Euler-Maruyama reverse-SDE predictor (ref sampling.py:189-201)."""
+    n = n_total or sde.N
+    dt = -1.0 / n
+    t = (timestep + 1) / sde.N
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    beta_t = sde.beta_0 + t * (sde.beta_1 - sde.beta_0)
+    a2 = sde.sqrt_1m_alphas_cumprod[timestep].reshape(bshape)
+    score = -eps_pred / a2
+    drift = -0.5 * beta_t * x - beta_t * score
+    diffusion = jnp.sqrt(beta_t)
+    noise = jax.random.normal(key, x.shape)
+    x_mean = x + drift * dt
+    x_new = x_mean + diffusion * jnp.sqrt(-dt) * noise
+    return x_new, x_mean
+
+
+def reverse_diffusion_step(sde: VPSDE, key, x, eps_pred, timestep):
+    """Reverse-diffusion (DDPM discretization) predictor (ref :203-214)."""
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    beta = sde.discrete_betas[timestep].reshape(bshape)
+    alpha = sde.alphas[timestep].reshape(bshape)
+    a2 = sde.sqrt_1m_alphas_cumprod[timestep].reshape(bshape)
+    score = -eps_pred / a2
+    f = jnp.sqrt(alpha) * x - x
+    g = jnp.sqrt(beta)
+    rev_f = f - g * g * score
+    noise = jax.random.normal(key, x.shape)
+    x_mean = x - rev_f
+    x_new = x_mean + g * noise
+    return x_new, x_mean
+
+
+def langevin_corrector_step(sde: VPSDE, key, x, eps_fn_single, timestep, snr: float = 0.075, n_steps: int = 1):
+    """Langevin MCMC corrector (ref sampling.py:262-290)."""
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    alpha = sde.alphas[timestep].reshape(bshape)
+
+    def one(i, carry):
+        x, k = carry
+        k, k1 = jax.random.split(k)
+        eps_pred = eps_fn_single(x, timestep)
+        a2 = sde.sqrt_1m_alphas_cumprod[timestep].reshape(bshape)
+        grad = -eps_pred / a2
+        noise = jax.random.normal(k1, x.shape)
+        grad_norm = jnp.sqrt(jnp.mean(grad**2))
+        noise_norm = jnp.sqrt(jnp.mean(noise**2))
+        step_size = (snr * noise_norm / jnp.maximum(grad_norm, 1e-12)) ** 2 * 2 * alpha
+        x = x + step_size * grad + jnp.sqrt(2 * step_size) * noise
+        return (x, k)
+
+    x, _ = jax.lax.fori_loop(0, n_steps, one, (x, key))
+    return x
+
+
+PREDICTORS = {
+    "ancestral_sampling": ancestral_step,
+    "euler_maruyama": euler_maruyama_step,
+    "reverse_diffusion": reverse_diffusion_step,
+    "none": None,
+}
+CORRECTORS = {"langevin": langevin_corrector_step, "ald": langevin_corrector_step, "none": None}
+
+
 def slerp(z0, z1, t):
     """Spherical interpolation between prior noises (ref evaler.py:78-181
     uncond_gen_interp)."""

@@ -50,6 +50,18 @@ def material_smoothness_grad(kd_grad, ks_grad, nrm_grad, lambda_kd=0.25, lambda_
     return loss
 
 
+def image_grad(key, buf, std: float = 0.01):
+    """Stochastic image-gradient magnitude for kd/ks smoothness (ref :56-66):
+    compare against a randomly shifted tap.  The reference uses a bilinear
+    jitter texture fetch; an integer-pixel roll (≈ std·res px) plays the same
+    regularizer role with no gather."""
+    h = buf.shape[-3]
+    shift_px = max(int(round(std * h)), 1)
+    s = jax.random.randint(key, (2,), -shift_px, shift_px + 1)
+    tap = jnp.roll(buf, (s[0], s[1]), axis=(-3, -2))
+    return jnp.abs(tap[..., :-1] - buf[..., :-1]) * tap[..., -1:] * buf[..., -1:]
+
+
 def avg_edge_length(v_pos, t_pos_idx):
     e = compute_edges(t_pos_idx)
     d = v_pos[e[:, 0]] - v_pos[e[:, 1]]
