@@ -142,8 +142,9 @@ class GShellFlexiGeometry:
             background=bg, visibility_fn=visibility_fn,
             shadow_scale=shadow_scale, denoiser_sigma=denoiser_sigma,
         )
-        buffers = jax.vmap(render_one)(
-            keys, target["mvp"], target["campos"], target["background"]
+        buffers = jax.lax.map(
+            lambda args: render_one(*args),
+            (keys, target["mvp"], target["campos"], target["background"]),
         )
 
         color_ref = target["img"]

@@ -219,8 +219,12 @@ class GShellGeometry:
             shadow_scale=shadow_scale,
             denoiser_sigma=denoiser_sigma,
         )
-        buffers = jax.vmap(render_one)(
-            k_render, target["mvp"], target["campos"], target["background"]
+        # Sequential over views (lax.map, not vmap): a single 512² view
+        # already saturates the chip, and sequencing halves peak HBM — the
+        # reference renders its batch as one big raster launch per view too.
+        buffers = jax.lax.map(
+            lambda args: render_one(*args),
+            (k_render, target["mvp"], target["campos"], target["background"]),
         )
 
         color_ref = target["img"]
