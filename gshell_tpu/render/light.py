@@ -2,10 +2,14 @@
 
 TPU-native twin of ``render/light.py:21-105`` (EnvironmentLight): a trainable
 lat-long radiance texture plus sin-weighted PDF and row/column CDFs for light
-importance sampling.  CDF construction is two ``cumsum`` calls (XLA scans);
-CDF inversion at sample time is ``searchsorted`` (vectorized binary search —
-the TPU counterpart of the per-thread binary search in the reference's OptiX
-kernel ``envsampling/kernel.cu:140-169``).
+importance sampling.
+
+CDF inversion at sample time is a **branchless vectorized binary search**
+(log₂N rounds of batched gathers across all samples at once) — the lane-
+parallel counterpart of the per-thread loop in the reference's OptiX kernel
+(``envsampling/kernel.cu:140-169``).  Unlike ``jnp.searchsorted`` under
+``vmap`` (one search per row), every round is a single take_along_axis over
+the whole sample batch.
 """
 from __future__ import annotations
 
@@ -77,30 +81,46 @@ def light_pdf(light: EnvLight, dirs: jax.Array) -> jax.Array:
     return light.pdf[y[..., 0], x[..., 0]][..., None] * weight
 
 
-def _sample_cdf(cdf: jax.Array, x: jax.Array):
-    """Inverse-CDF: returns (index, residual).  ``cdf`` is ascending along
-    its last axis — either (N,) shared, or (..., N) batched to match x."""
+def _bsearch(cdf, x):
+    """First index with cdf[idx] > x, branchless over the batch.
+
+    cdf: (N,) shared or (P, N) per-sample rows; x: (P,).  log₂N rounds,
+    each one batched gather — no per-sample while loops."""
+    n = cdf.shape[-1]
+    p = x.shape[0]
+    per_row = cdf.ndim == 2
+
+    def at(i):
+        if per_row:
+            return jnp.take_along_axis(cdf, i[:, None], axis=-1)[:, 0]
+        return cdf[i]
+
+    idx = jnp.zeros((p,), jnp.int32)  # lower bound (exclusive count)
+    width = 1 << (n - 1).bit_length()
+    step = width
+    while step > 0:
+        cand = idx + step
+        ok = (cand <= n) & (at(jnp.minimum(cand, n) - 1) <= x)
+        idx = jnp.where(ok, cand, idx)
+        step >>= 1
+    # idx = #entries <= x  ==  searchsorted(..., 'right')
+    return jnp.clip(idx, 0, n - 1)
+
+
+def _sample_cdf(cdf, x):
+    """Inverse-CDF: (index, residual); exact 'right' semantics
+    (ref ``kernel.cu:140-169`` sample_cdf)."""
     n = cdf.shape[-1]
     x = jnp.minimum(x, 0.99999994)
-    if cdf.ndim == 1:
-        idx = jnp.clip(jnp.searchsorted(cdf, x, side="right"), 0, n - 1)
-    else:
-        flat_c = cdf.reshape(-1, n)
-        flat_x = x.reshape(-1)
-        idx = jax.vmap(lambda c, xv: jnp.searchsorted(c, xv, side="right"))(
-            flat_c, flat_x
-        )
-        idx = jnp.clip(idx.reshape(x.shape), 0, n - 1)
-    if cdf.ndim == 1:
-        hi = cdf[idx]
-        lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
-    else:
-        hi = jnp.take_along_axis(cdf, idx[..., None], axis=-1)[..., 0]
-        lo = jnp.where(
-            idx > 0,
-            jnp.take_along_axis(cdf, jnp.maximum(idx - 1, 0)[..., None], axis=-1)[..., 0],
-            0.0,
-        )
+    idx = _bsearch(cdf, x)
+
+    def at(i):
+        if cdf.ndim == 2:
+            return jnp.take_along_axis(cdf, i[:, None], axis=-1)[:, 0]
+        return cdf[i]
+
+    hi = at(idx)
+    lo = jnp.where(idx > 0, at(jnp.maximum(idx - 1, 0)), 0.0)
     pdf = jnp.maximum(hi - lo, 1e-12)
     residual = jnp.minimum((x - lo) / pdf, 0.99999994)
     return idx, residual
@@ -111,13 +131,15 @@ def sample_light(light: EnvLight, u: jax.Array, v: jax.Array):
     (ref ``kernel.cu:184-193`` lightSample).  u, v: (...,) uniforms.
     Returns (dirs (..., 3), pdf (..., 1))."""
     h, w = light.pdf.shape
-    y, ry = _sample_cdf(light.rows, v)
-    cols_y = light.cols[y]  # (..., W)
-    x, rx = _sample_cdf(cols_y, u)
+    shp = u.shape
+    uf, vf = u.reshape(-1), v.reshape(-1)
+    y, ry = _sample_cdf(light.rows, vf)
+    cols_y = light.cols[y]  # (P, W)
+    x, rx = _sample_cdf(cols_y, uf)
     uv = jnp.stack(
         [(x.astype(u.dtype) + rx) / w, (y.astype(v.dtype) + ry) / h], axis=-1
     )
-    dirs = latlong_uv_to_dir(uv)
+    dirs = latlong_uv_to_dir(uv).reshape(*shp, 3)
     return dirs, light_pdf(light, dirs)
 
 
