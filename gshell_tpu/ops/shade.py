@@ -295,6 +295,61 @@ def make_sdf_visibility(
 
 
 # ----------------------------------------------------------------------------
+# Memory-free Monte-Carlo accumulation
+# ----------------------------------------------------------------------------
+
+
+def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init):
+    """Σᵢ step_contrib(args, i) with O(pixels) memory under reverse-mode AD.
+
+    A scan's backward normally stores per-iteration residuals — for an
+    n²-sample MC loop over a 512² image that's gigabytes.  But for a pure
+    accumulation the upstream gradient of every per-sample contribution is
+    the SAME cotangent, so the backward can re-walk the loop computing each
+    sample's VJP independently and summing the argument gradients:
+    memory O(P), compute ≈ 2× forward.  (This is the same structure as the
+    reference's fused forward+backward OptiX kernel, kernel.cu:424-459 —
+    the backward re-traces the same rays and accumulates atomically.)
+
+    ``args`` must be a float-only pytree (pack RNG keys via bitcast).
+    """
+
+    @jax.custom_vjp
+    def run(args):
+        def body(i, acc):
+            return acc + step_contrib(args, i)
+
+        # init must be derived from args (zeros_like) so shard_map
+        # varying-axis tracking matches the carry
+        return jax.lax.fori_loop(0, n_steps, body, init)
+
+    def fwd(args):
+        return run(args), args
+
+    def bwd(args, g):
+        def body(i, acc):
+            _, vjp = jax.vjp(lambda a: step_contrib(a, i), args)
+            (gi,) = vjp(g)
+            return jax.tree_util.tree_map(jnp.add, acc, gi)
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, args)
+        return (jax.lax.fori_loop(0, n_steps, body, zero),)
+
+    run.defvjp(fwd, bwd)
+    return run(args)
+
+
+def _key_to_float(key: jax.Array) -> jax.Array:
+    return jax.lax.bitcast_convert_type(jax.random.key_data(key), jnp.float32)
+
+
+def _key_from_float(bits: jax.Array) -> jax.Array:
+    return jax.random.wrap_key_data(
+        jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    )
+
+
+# ----------------------------------------------------------------------------
 # The shading loop
 # ----------------------------------------------------------------------------
 
@@ -342,41 +397,60 @@ def env_shade(
     n2 = n_samples_x * n_samples_x
     strata = 1.0 / n_samples_x
 
-    wo = safe_normalize(view_pos - gb_pos)
-    alpha = ks[..., 1:2] * ks[..., 1:2]  # roughness²
     diffuse_only = bsdf in ("diffuse", "white")
-    p_diffuse = (
-        jnp.ones_like(alpha) if diffuse_only else _pixel_probabilities(kd, ks, wo, gb_normal)
-    )
 
     # Per-pixel Cranley-Patterson rotations decorrelate strata across pixels.
     k_rot, k_loop = jax.random.split(key)
     rot = jax.random.uniform(k_rot, (p, 6))
 
-    def eval_sample(ray_dir, pdf_sum, vis):
-        light_col = eval_light(light, ray_dir)
-        mis = 1.0 / jnp.maximum(pdf_sum, 1e-4)
-        if diffuse_only:
-            diff = lambert(gb_normal, ray_dir)
-            spec = jnp.zeros_like(diff)
-        else:
-            metallic = ks[..., 2:3]
-            spec_col = 0.04 * (1.0 - metallic) + kd * metallic
-            diff = lambert(gb_normal, ray_dir)
-            spec = pbr_specular(
-                spec_col, gb_normal, wo, ray_dir, alpha, min_roughness=0.08
-            )
-        v = vis * shadow_scale + (1.0 - shadow_scale)
-        w = mis * (1.0 / n2) * v
-        return diff * light_col * w, spec * light_col * w
+    # Differentiable inputs travel through the custom-VJP accumulator's args;
+    # RNG state, visibility (detached by design) and strata constants are
+    # closed over (custom_vjp treats closure tracers as constants — which is
+    # exactly the reference's gradient surface, kernel.cu:424-459).
+    args = {
+        "ro": ro,
+        "gb_pos": gb_pos,
+        "gb_normal": gb_normal,
+        "view_pos": view_pos,
+        "kd": kd,
+        "ks": ks,
+        "light": light,
+    }
 
-    def shadow(ray_dir):
-        if visibility_fn is None:
-            return jnp.ones_like(ray_dir[..., :1])
-        return jax.lax.stop_gradient(visibility_fn(ro, ray_dir))
+    def step_contrib(a, s):
+        gb_normal = a["gb_normal"]
+        kd, ks = a["kd"], a["ks"]
+        light = a["light"]
+        wo = safe_normalize(a["view_pos"] - a["gb_pos"])
+        alpha = ks[..., 1:2] * ks[..., 1:2]
+        p_diffuse = (
+            jnp.ones_like(alpha)
+            if diffuse_only
+            else _pixel_probabilities(kd, ks, wo, gb_normal)
+        )
 
-    def sample_step(s, accum):
-        d_acc, s_acc = accum
+        def eval_sample(ray_dir, pdf_sum, vis):
+            light_col = eval_light(light, ray_dir)
+            mis = 1.0 / jnp.maximum(pdf_sum, 1e-4)
+            if diffuse_only:
+                diff = lambert(gb_normal, ray_dir)
+                spec = jnp.zeros_like(diff)
+            else:
+                metallic = ks[..., 2:3]
+                spec_col = 0.04 * (1.0 - metallic) + kd * metallic
+                diff = lambert(gb_normal, ray_dir)
+                spec = pbr_specular(
+                    spec_col, gb_normal, wo, ray_dir, alpha, min_roughness=0.08
+                )
+            v = vis * shadow_scale + (1.0 - shadow_scale)
+            w = mis * (1.0 / n2) * v
+            return diff * light_col * w, spec * light_col * w
+
+        def shadow(ray_dir):
+            if visibility_fn is None:
+                return jnp.ones_like(ray_dir[..., :1])
+            return jax.lax.stop_gradient(visibility_fn(a["ro"], ray_dir))
+
         ku = jax.random.fold_in(k_loop, s)
         u = jax.random.uniform(ku, (p, 5))
         sx_i = s % n_samples_x
@@ -402,12 +476,11 @@ def env_shade(
         pdf_l2 = light_pdf(light, ray_dir2)
         d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, shadow(ray_dir2))
 
-        return (d_acc + d1 + d2, s_acc + s1 + s2)
+        return jnp.concatenate([d1 + d2, s1 + s2], axis=-1)  # (P, 6)
 
-    # derive the carry from an input so shard_map varying-axis tracking works
-    init = (jnp.zeros_like(gb_pos), jnp.zeros_like(gb_pos))
-    body = jax.checkpoint(sample_step, prevent_cse=False)
-    diff_acc, spec_acc = jax.lax.fori_loop(0, n2, body, init)
+    init = jnp.concatenate([jnp.zeros_like(gb_pos), jnp.zeros_like(gb_pos)], -1)
+    acc = _mc_accumulate(step_contrib, n2, args, init)
+    diff_acc, spec_acc = acc[:, :3], acc[:, 3:]
 
     m = mask.reshape(p, 1).astype(diff_acc.dtype)
     return ShadeBuffers(diffuse=diff_acc * m, specular=spec_acc * m)
