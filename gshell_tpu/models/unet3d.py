@@ -149,6 +149,10 @@ class UNet3DConfig:
     dropout: float = 0.1
     resamp_with_conv: bool = True
     use_occ: bool = True
+    # TPU memory policy: rematerialize ResBlocks in the backward and compute
+    # in bf16 (GroupNorm stays f32 — ref GroupNormFloat32); params stay f32.
+    remat: bool = False
+    compute_dtype: str = "float32"
 
 
 class UNet3D(nn.Module):
@@ -169,6 +173,11 @@ class UNet3D(nn.Module):
     ):
         cfg = self.cfg
         nf = cfg.base_channels
+        cdt = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(cdt)
+        if occ is not None:
+            occ = occ.astype(cdt)
+        Res = nn.remat(ResBlock, static_argnums=(3,)) if cfg.remat else ResBlock
         if feature_mask is None:
             feature_mask = jnp.ones((1,) + x.shape[1:4] + (x.shape[-1],), x.dtype)
         if pixcat_mask is None:
@@ -198,7 +207,7 @@ class UNet3D(nn.Module):
         for i_level, btype in enumerate(cfg.down_block_types):
             nrb = cfg.num_res_blocks_1st_layer if i_level == 0 else cfg.num_res_blocks
             for _ in range(nrb):
-                h = ResBlock(
+                h = Res(
                     out_ch=nf * cfg.ch_mult[i_level],
                     dropout=cfg.dropout,
                     use_attn=(btype == "AttnResBlock"),
@@ -209,8 +218,8 @@ class UNet3D(nn.Module):
 
         # Middle
         h = hs[-1]
-        h = ResBlock(dropout=cfg.dropout, use_attn=True)(h, temb, train)
-        h = ResBlock(dropout=cfg.dropout)(h, temb, train)
+        h = Res(dropout=cfg.dropout, use_attn=True)(h, temb, train)
+        h = Res(dropout=cfg.dropout)(h, temb, train)
 
         # Upsampling
         for i_level, btype in enumerate(cfg.up_block_types):
@@ -220,7 +229,7 @@ class UNet3D(nn.Module):
                 else cfg.num_res_blocks
             )
             for _ in range(nrb + 1):
-                h = ResBlock(
+                h = Res(
                     out_ch=nf * cfg.ch_mult[n_levels - i_level - 1],
                     dropout=cfg.dropout,
                     use_attn=(btype == "AttnResBlock"),
@@ -231,7 +240,7 @@ class UNet3D(nn.Module):
         assert not hs
         h = nn.silu(GroupNormF32()(h))
         grid = nn.Conv(cfg.data_ch, (5, 5, 5), kernel_init=ddpm_init(0.0))(h)
-        grid = grid * feature_mask
+        grid = grid.astype(jnp.float32) * feature_mask
 
         grid_occ = None
         if cfg.use_occ and occ is not None:
@@ -241,5 +250,5 @@ class UNet3D(nn.Module):
                 1, (4, 4, 4), strides=(2, 2, 2), padding="SAME",
                 kernel_init=ddpm_init(),
             )(h)
-            grid_occ = grid_occ * occ_mask
+            grid_occ = grid_occ.astype(jnp.float32) * occ_mask
         return grid, grid_occ
