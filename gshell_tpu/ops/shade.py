@@ -210,7 +210,20 @@ def trilinear_sdf(grid: jax.Array, p: jax.Array, aabb_min, aabb_scale) -> jax.Ar
     return jnp.where(inside, val, -1.0)
 
 
-def make_sdf_visibility(
+class VisibilityCfg(NamedTuple):
+    """Static marching parameters (python scalars — safe to close over)."""
+
+    t0: float
+    dt: float
+    n_steps: int
+    threshold: float
+    mode: str
+    r: int
+    aabb_min: tuple
+    aabb_scale: tuple
+
+
+def make_sdf_visibility_parts(
     sdf_grid: jax.Array,
     aabb_min,
     aabb_size,
@@ -219,34 +232,18 @@ def make_sdf_visibility(
     occlusion_threshold: float = 0.0,
     mode: str = "nearest",
     max_grid_res: int = 65,
-) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """Build a shadow-test: march rays through the (sign-convention: >0 =
-    inside) SDF volume; occluded if any sample is inside the surface.
-
-    Replaces ``optix_build_bvh`` + shadow ``optixTrace``
-    (``optix_wrapper.cpp``, ``kernel.cu:101-118``).  Visibility is binary and
-    detached, matching the reference's no-boundary-gradient choice.
-
-    TPU cost model: marching is gather-bound.  ``mode='nearest'`` fetches ONE
-    voxel per step (8× fewer gathers than trilinear) and the grid is
-    average-pooled to ≤``max_grid_res``³ — soft MC shadows + the bilateral
-    denoiser absorb the quantization.  Use ``mode='trilinear'`` for
-    reference-accurate interpolation.
-    """
+):
+    """(VisibilityCfg, consts) form of :func:`make_sdf_visibility` — the
+    traced grid travels through the consts pytree so the shading loop's
+    custom VJP never closes over tracers (closures over values created
+    inside an outer scan leak during its transpose)."""
     import numpy as np
 
-    # static geometry of the volume — computed with numpy so this works
-    # inside a jit trace (jnp ops would return tracers)
     diag = float(np.linalg.norm(np.asarray(aabb_size, np.float64)))
-    aabb_min = jnp.asarray(aabb_min)
-    aabb_scale = 1.0 / jnp.asarray(aabb_size)
     grid = jax.lax.stop_gradient(sdf_grid)
-
-    # Downsample (max-pool: conservative — keeps occluders) to bound gathers.
     while grid.shape[0] > max_grid_res and (grid.shape[0] - 1) % 2 == 0:
         rr = grid.shape[0] - 1
         g = grid
-        # 2× decimation on the lattice: take strided max over the 2³ cell
         sub = jnp.max(
             jnp.stack(
                 [
@@ -258,40 +255,75 @@ def make_sdf_visibility(
             ),
             axis=0,
         )
-        # re-append the final lattice plane to keep (r/2+1)³
         sub = jnp.pad(sub, ((0, 1), (0, 1), (0, 1)), mode="edge")
         sub = sub.at[-1, :, :].set(jnp.maximum(sub[-1], g[-1, ::2, ::2]))
         grid = sub
-
     r = grid.shape[0] - 1
     vox = diag / max(r, 1)
     t0 = t_min_vox * vox
-    dt = (diag - t0) / n_steps
+    cfg = VisibilityCfg(
+        t0=t0,
+        dt=(diag - t0) / n_steps,
+        n_steps=n_steps,
+        threshold=occlusion_threshold,
+        mode=mode,
+        r=r,
+        aabb_min=tuple(float(v) for v in np.asarray(aabb_min, np.float64)),
+        aabb_scale=tuple(
+            float(v) for v in 1.0 / np.asarray(aabb_size, np.float64)
+        ),
+    )
+    return cfg, {"grid": grid}
+
+
+def apply_visibility(cfg: VisibilityCfg, consts: dict, ro: jax.Array, rd: jax.Array) -> jax.Array:
+    """March rays through the occupancy volume (see make_sdf_visibility)."""
+    grid = consts["grid"]
     n = grid.shape[0]
+    r = cfg.r
     flat = grid.reshape(-1)
+    aabb_min = jnp.asarray(cfg.aabb_min, ro.dtype)
+    aabb_scale = jnp.asarray(cfg.aabb_scale, ro.dtype)
 
-    def visibility(ro: jax.Array, rd: jax.Array) -> jax.Array:
-        if mode == "trilinear":
-            def body(i, occ):
-                t = t0 + dt * (i + 0.5)
-                s = trilinear_sdf(grid, ro + rd * t, aabb_min, aabb_scale)
-                return jnp.maximum(occ, s)
-        else:
-            def body(i, occ):
-                t = t0 + dt * (i + 0.5)
-                q = (ro + rd * t - aabb_min) * aabb_scale * r
-                inside = ((q >= 0.0) & (q <= r)).all(axis=-1)
-                qi = jnp.clip(jnp.round(q).astype(jnp.int32), 0, r)
-                idx = (qi[..., 0] * n + qi[..., 1]) * n + qi[..., 2]
-                s = jnp.where(inside, flat[idx], -1.0)
-                return jnp.maximum(occ, s)
+    if cfg.mode == "trilinear":
+        def body(i, occ):
+            t = cfg.t0 + cfg.dt * (i + 0.5)
+            s = trilinear_sdf(grid, ro + rd * t, aabb_min, aabb_scale)
+            return jnp.maximum(occ, s)
+    else:
+        def body(i, occ):
+            t = cfg.t0 + cfg.dt * (i + 0.5)
+            q = (ro + rd * t - aabb_min) * aabb_scale * r
+            inside = ((q >= 0.0) & (q <= r)).all(axis=-1)
+            qi = jnp.clip(jnp.round(q).astype(jnp.int32), 0, r)
+            idx = (qi[..., 0] * n + qi[..., 1]) * n + qi[..., 2]
+            s = jnp.where(inside, flat[idx], -1.0)
+            return jnp.maximum(occ, s)
 
-        max_sdf = jax.lax.fori_loop(
-            0, n_steps, body, jnp.full(ro.shape[:-1], -jnp.inf)
-        )
-        return (max_sdf <= occlusion_threshold).astype(ro.dtype)[..., None]
+    init = jnp.zeros_like(ro[..., 0]) - jnp.inf
+    max_sdf = jax.lax.fori_loop(0, cfg.n_steps, body, init)
+    return (max_sdf <= cfg.threshold).astype(ro.dtype)[..., None]
 
-    return visibility
+
+def make_sdf_visibility(
+    sdf_grid: jax.Array,
+    aabb_min,
+    aabb_size,
+    n_steps: int = 32,
+    t_min_vox: float = 2.0,
+    occlusion_threshold: float = 0.0,
+    mode: str = "nearest",
+    max_grid_res: int = 65,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Build a shadow-test callable (closure form — fine outside scans; use
+    :func:`make_sdf_visibility_parts` inside custom-VJP loops).  See
+    :func:`make_sdf_visibility_parts` for semantics and the TPU cost model.
+    """
+    cfg, consts = make_sdf_visibility_parts(
+        sdf_grid, aabb_min, aabb_size, n_steps, t_min_vox,
+        occlusion_threshold, mode, max_grid_res,
+    )
+    return lambda ro, rd: apply_visibility(cfg, consts, ro, rd)
 
 
 # ----------------------------------------------------------------------------
@@ -299,7 +331,7 @@ def make_sdf_visibility(
 # ----------------------------------------------------------------------------
 
 
-def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init):
+def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init_of: Callable):
     """Σᵢ step_contrib(args, i) with O(pixels) memory under reverse-mode AD.
 
     A scan's backward normally stores per-iteration residuals — for an
@@ -319,9 +351,9 @@ def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init):
         def body(i, acc):
             return acc + step_contrib(args, i)
 
-        # init must be derived from args (zeros_like) so shard_map
-        # varying-axis tracking matches the carry
-        return jax.lax.fori_loop(0, n_steps, body, init)
+        # init derived from args: keeps shard_map varying-axis tracking
+        # consistent AND avoids closing over outer-scope tracers
+        return jax.lax.fori_loop(0, n_steps, body, init_of(args))
 
     def fwd(args):
         return run(args), args
@@ -403,10 +435,16 @@ def env_shade(
     k_rot, k_loop = jax.random.split(key)
     rot = jax.random.uniform(k_rot, (p, 6))
 
-    # Differentiable inputs travel through the custom-VJP accumulator's args;
-    # RNG state, visibility (detached by design) and strata constants are
-    # closed over (custom_vjp treats closure tracers as constants — which is
-    # exactly the reference's gradient surface, kernel.cu:424-459).
+    # ALL traced values travel through the custom-VJP accumulator's args —
+    # the backward of an outer scan (lax.map over views) transposes the
+    # custom_vjp in a context where closed-over tracers have died.  Non-
+    # differentiable entries (rot, RNG bits, detached shadow volume) simply
+    # get discarded zero cotangents, matching the reference's gradient
+    # surface (kernel.cu:424-459).
+    if isinstance(visibility_fn, tuple):
+        vis_cfg, vis_consts = visibility_fn
+    else:
+        vis_cfg, vis_consts = None, {}
     args = {
         "ro": ro,
         "gb_pos": gb_pos,
@@ -415,12 +453,19 @@ def env_shade(
         "kd": kd,
         "ks": ks,
         "light": light,
+        "rot": rot,
+        "key_bits": _key_to_float(k_loop),
+        "shadow_scale": jnp.asarray(shadow_scale, jnp.float32),
+        "vis": vis_consts,
     }
 
     def step_contrib(a, s):
         gb_normal = a["gb_normal"]
         kd, ks = a["kd"], a["ks"]
         light = a["light"]
+        rot = a["rot"]
+        k_loop = _key_from_float(a["key_bits"])
+        shadow_scale_t = a["shadow_scale"]
         wo = safe_normalize(a["view_pos"] - a["gb_pos"])
         alpha = ks[..., 1:2] * ks[..., 1:2]
         p_diffuse = (
@@ -442,13 +487,18 @@ def env_shade(
                 spec = pbr_specular(
                     spec_col, gb_normal, wo, ray_dir, alpha, min_roughness=0.08
                 )
-            v = vis * shadow_scale + (1.0 - shadow_scale)
+            v = vis * shadow_scale_t + (1.0 - shadow_scale_t)
             w = mis * (1.0 / n2) * v
             return diff * light_col * w, spec * light_col * w
 
         def shadow(ray_dir):
+            if vis_cfg is not None:
+                return jax.lax.stop_gradient(
+                    apply_visibility(vis_cfg, a["vis"], a["ro"], ray_dir)
+                )
             if visibility_fn is None:
                 return jnp.ones_like(ray_dir[..., :1])
+            # legacy callable form — fine outside outer scans
             return jax.lax.stop_gradient(visibility_fn(a["ro"], ray_dir))
 
         ku = jax.random.fold_in(k_loop, s)
@@ -478,8 +528,10 @@ def env_shade(
 
         return jnp.concatenate([d1 + d2, s1 + s2], axis=-1)  # (P, 6)
 
-    init = jnp.concatenate([jnp.zeros_like(gb_pos), jnp.zeros_like(gb_pos)], -1)
-    acc = _mc_accumulate(step_contrib, n2, args, init)
+    init_of = lambda a: jnp.concatenate(
+        [jnp.zeros_like(a["gb_pos"]), jnp.zeros_like(a["gb_pos"])], -1
+    )
+    acc = _mc_accumulate(step_contrib, n2, args, init_of)
     diff_acc, spec_acc = acc[:, :3], acc[:, 3:]
 
     m = mask.reshape(p, 1).astype(diff_acc.dtype)

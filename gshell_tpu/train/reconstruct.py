@@ -26,7 +26,7 @@ import optax
 
 from ..geometry.geometry import GeometryConfig, GShellGeometry
 from ..ops.image_loss import create_loss
-from ..ops.shade import make_sdf_visibility
+from ..ops.shade import make_sdf_visibility_parts
 from ..render.light import update_pdf
 from ..render.material import MLPTexture3DConfig, MLPTexture3DParams
 from ..render.render import RenderFlags
@@ -132,7 +132,9 @@ class Reconstructor:
             light = update_pdf(light_base)
             if tcfg.use_shadows:
                 sdf_grid = self.geo.sdf_lattice(params_geo)
-                visibility_fn = make_sdf_visibility(
+                # (cfg, consts) parts form: the traced shadow volume rides the
+                # MC accumulator's args (no tracer closures under lax.map)
+                visibility_fn = make_sdf_visibility_parts(
                     sdf_grid, self.aabb_min, self.aabb_size
                 )
             else:
