@@ -190,3 +190,29 @@ def test_denoiser_smooths():
     out = bilateral_denoiser(col, nrm, zdz, jnp.asarray(2.0), 5)
     assert float(jnp.std(out)) < float(jnp.std(col)) * 0.5
     np.testing.assert_allclose(float(out.mean()), float(col.mean()), rtol=0.05)
+
+
+def test_mc_accumulator_gradients_match_fd():
+    """The custom-VJP MC accumulator must agree with finite differences
+    (validates the memory-free backward re-walk)."""
+    light = update_pdf(jnp.full((8, 16, 3), 1.0))
+    p = 8
+    nrm = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (p, 1))
+    pos = jnp.zeros((p, 3))
+    view = jnp.tile(jnp.array([[0.2, 0.1, 2.0]]), (p, 1))
+    ks = jnp.stack([jnp.zeros(p), jnp.full(p, 0.5), jnp.zeros(p)], -1)
+    key = jax.random.PRNGKey(11)
+
+    def f(kd_scalar):
+        kd = jnp.ones((p, 3)) * kd_scalar
+        out = env_shade(
+            key, jnp.ones((p, 1)), pos, pos, nrm, view, kd, ks, light,
+            n_samples_x=2, bsdf="pbr", shadow_scale=0.0,
+        )
+        return (out.diffuse + out.specular).sum()
+
+    g = jax.grad(f)(0.5)
+    h = 1e-3
+    fd = (f(0.5 + h) - f(0.5 - h)) / (2 * h)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.05, atol=1e-3)
