@@ -25,22 +25,37 @@ import numpy as np
 
 def main():
     quick = "--quick" in sys.argv
-    # Config ladder: the tunneled single-chip dev environment kills very long
-    # compile+execute calls ("TPU device error"); step down until one fits.
-    # On a real v5e host the first (reference working point) runs.
-    ladder = (
-        [(128, 32, 2, 1)]
-        if quick
-        else [(512, 64, 8, 2), (512, 64, 8, 1), (512, 64, 4, 1), (256, 64, 4, 1)]
-    )
-    last_err = None
+    if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        res, grid, spp, batch = (int(v) for v in sys.argv[i + 1].split(","))
+        return run_config(quick, res, grid, spp, batch)
+    if quick:
+        return run_config(True, 128, 32, 2, 1)
+
+    # Config ladder: the tunneled single-chip dev environment occasionally
+    # kills very long compile+execute calls ("TPU device error") and the
+    # fault wedges the process's TPU client — so each rung runs in a fresh
+    # subprocess.  On a real v5e host the first rung (the reference working
+    # point) runs directly.
+    import subprocess
+
+    ladder = [(512, 64, 8, 2), (512, 64, 8, 1), (512, 64, 4, 1), (256, 64, 4, 1)]
     for cfg in ladder:
-        try:
-            return run_config(quick, *cfg)
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            print(f"# config {cfg} failed: {type(e).__name__}", file=sys.stderr)
-    raise last_err
+        arg = ",".join(str(v) for v in cfg)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", arg],
+            capture_output=True,
+            text=True,
+            timeout=3400,
+        )
+        out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and out:
+            print(out[-1])
+            sys.stderr.write(proc.stderr[-500:])
+            return
+        print(f"# config {cfg} failed (rc={proc.returncode})", file=sys.stderr)
+        time.sleep(20)  # let the tunneled device recover
+    raise SystemExit("all bench configs failed")
 
 
 def run_config(quick, res, grid, n_samples, batch):
