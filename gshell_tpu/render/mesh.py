@@ -40,22 +40,44 @@ def unit_size(mesh: Mesh) -> Mesh:
     return mesh._replace(v_pos=(mesh.v_pos - center) * scale)
 
 
-def load_obj(path: str, scale: float = 1.0) -> Mesh:
-    """Minimal OBJ loader: positions + faces (triangulates fans).
-    Twin of ``render/obj.py:31-141`` (geometry only; material binding is
-    handled by the caller)."""
-    verts, faces = [], []
+def load_obj(path: str, scale: float = 1.0, with_attrs: bool = False):
+    """OBJ loader: positions + faces (triangulates fans); with
+    ``with_attrs``, also texcoords/normals and their face indices.
+    Twin of ``render/obj.py:31-141`` (material binding via
+    ``render.material.load_mtl`` is up to the caller)."""
+    verts, texs, nrms, faces, tfaces, nfaces = [], [], [], [], [], []
     with open(path, "r") as f:
         for line in f:
-            if line.startswith("v "):
-                verts.append([float(x) for x in line.split()[1:4]])
-            elif line.startswith("f "):
-                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
-                for k in range(1, len(idx) - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "vt":
+                texs.append([float(tok[1]), float(tok[2])])
+            elif tok[0] == "vn":
+                nrms.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "f":
+                parts = [t.split("/") for t in tok[1:]]
+                vi = [int(p[0]) - 1 for p in parts]
+                ti = [int(p[1]) - 1 if len(p) > 1 and p[1] else -1 for p in parts]
+                ni = [int(p[2]) - 1 if len(p) > 2 and p[2] else -1 for p in parts]
+                for k in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[k], vi[k + 1]])
+                    tfaces.append([ti[0], ti[k], ti[k + 1]])
+                    nfaces.append([ni[0], ni[k], ni[k + 1]])
     v = jnp.asarray(np.asarray(verts, np.float32) * scale)
     f = jnp.asarray(np.asarray(faces, np.int32))
-    return Mesh(v_pos=v, t_pos_idx=f).with_normals()
+    mesh = Mesh(v_pos=v, t_pos_idx=f).with_normals()
+    if texs:
+        mesh = mesh._replace(v_tex=jnp.asarray(np.asarray(texs, np.float32)))
+    if not with_attrs:
+        return mesh
+    return mesh, {
+        "t_tex_idx": np.asarray(tfaces, np.int32),
+        "t_nrm_idx": np.asarray(nfaces, np.int32),
+        "v_nrm_file": np.asarray(nrms, np.float32) if nrms else None,
+    }
 
 
 def save_obj(path: str, v_pos: np.ndarray, faces: np.ndarray, face_valid=None):

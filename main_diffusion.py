@@ -37,12 +37,20 @@ def main():
     p.add_argument("--n-sampling-steps", type=int, default=100)
     p.add_argument("--n-samples", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mask-file", type=str, default=None,
+                   help=".npz with feature_mask/occ_mask (as baked by bake_grids.py)")
     args = p.parse_args()
 
     from gshell_tpu.train.diffusion import DiffusionTrainConfig, DiffusionTrainer
     from gshell_tpu.parallel.sharding import make_mesh
 
     os.makedirs(args.workdir, exist_ok=True)
+    feature_mask = occ_mask = None
+    if args.mask_file:
+        z = np.load(args.mask_file)
+        # masks mark valid sites (ref losses.py:110-120); add batch dim
+        feature_mask = jnp.asarray(z["feature_mask"])[None]
+        occ_mask = jnp.asarray(z["occ_mask"])[None, ..., None]
     cfg = DiffusionTrainConfig(
         grid_size=args.grid_size,
         data_ch=args.data_ch,
@@ -51,7 +59,7 @@ def main():
         lr=args.lr,
         snapshot_freq=args.snapshot_freq,
     )
-    trainer = DiffusionTrainer(cfg)
+    trainer = DiffusionTrainer(cfg, feature_mask=feature_mask, occ_mask=occ_mask)
     key = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(key)
     ckpt_meta = os.path.join(args.workdir, "checkpoints-meta")
