@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main():
+    from gshell_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     quick = "--quick" in sys.argv
     if "--one" in sys.argv:
         i = sys.argv.index("--one")

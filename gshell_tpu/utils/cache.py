@@ -1,0 +1,17 @@
+"""Persistent XLA compilation cache — amortizes multi-minute compiles of the
+fused train step across processes/runs (bench ladder, driver re-runs)."""
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str = "/root/.cache/gshell_jax_cache"):
+    import jax
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # cache is best-effort

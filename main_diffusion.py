@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from gshell_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["train", "uncond_gen", "uncond_gen_interp"], required=True)
     p.add_argument("--workdir", type=str, default="out/diffusion")

@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main():
+    from gshell_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="gshell_tpu reconstruction")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("-i", "--iter", type=int, default=None)
