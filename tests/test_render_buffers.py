@@ -1,0 +1,101 @@
+"""render_mesh buffer-contract test + validate/chamfer metrics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gshell_tpu.ops import math as gmath
+from gshell_tpu.ops.hashgrid import HashGridConfig
+from gshell_tpu.render.light import update_pdf
+from gshell_tpu.render.material import (
+    MLPTexture3DConfig,
+    default_kd_ks_min_max,
+    init_mlp_texture,
+)
+from gshell_tpu.render.mesh import Mesh
+from gshell_tpu.render.render import RenderFlags, render_mesh, render_uv
+from gshell_tpu.train.validate import chamfer_distance, validate_view
+
+RES = 48
+
+
+def quad_mesh(z=0.0, half=0.4):
+    v = jnp.array(
+        [[-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z]]
+    )
+    f = jnp.array([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    return Mesh(v_pos=v, t_pos_idx=f).with_normals()
+
+
+def setup():
+    mesh = quad_mesh()
+    mat_cfg = MLPTexture3DConfig(
+        channels=6,
+        internal_dims=16,
+        hidden=2,
+        hash=HashGridConfig(n_levels=4, log2_table_size=10, base_resolution=4, desired_resolution=16),
+        min_max=default_kd_ks_min_max(),
+    )
+    mat = init_mlp_texture(jax.random.PRNGKey(0), mat_cfg)
+    light = update_pdf(jnp.full((16, 32, 3), 1.0))
+    proj = gmath.perspective(np.deg2rad(45.0))
+    view = gmath.lookat(jnp.array([0.0, 0.0, 2.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    return mesh, mat, mat_cfg, light, proj @ view, jnp.array([0.0, 0.0, 2.0])
+
+
+EXPECTED_BUFFERS = {
+    "shaded", "mask", "kd", "ks", "kd_grad", "ks_grad", "normal_grad",
+    "normal", "geometric_normal", "z_grad", "invdepth", "diffuse_light",
+    "specular_light", "msdf_image", "visible_vert_mask",
+}
+
+
+def test_buffer_contract():
+    mesh, mat, mat_cfg, light, mvp, campos = setup()
+    flags = RenderFlags(resolution=(RES, RES), n_samples=2, bsdf="pbr", use_denoiser=False)
+    msdf = jnp.ones((mesh.v_pos.shape[0],))
+    buf = render_mesh(
+        jax.random.PRNGKey(1), mesh.v_pos, mesh.t_pos_idx, mesh.v_nrm, msdf,
+        mat, mat_cfg, mvp, campos, light, flags, shadow_scale=0.0,
+    )
+    assert EXPECTED_BUFFERS <= set(buf.keys()), set(buf.keys())
+    assert buf["shaded"].shape == (RES, RES, 4)
+    for k in EXPECTED_BUFFERS - {"visible_vert_mask"}:
+        assert np.isfinite(np.asarray(buf[k])).all(), k
+    # quad covers the center
+    assert float(buf["mask"][RES // 2, RES // 2, 0]) == 1.0
+    # visible verts: all 4 quad corners project on-screen
+    assert int(buf["visible_vert_mask"].sum()) == 4
+
+
+def test_render_uv_bake():
+    mesh, mat, mat_cfg, light, mvp, campos = setup()
+    v_tex = jnp.array([[0.1, 0.1], [0.9, 0.1], [0.9, 0.9], [0.1, 0.9]])
+    maskb, kd, ks = render_uv(
+        v_tex, mesh.t_pos_idx, mesh.v_pos, mesh.t_pos_idx, (32, 32), mat, mat_cfg
+    )
+    assert maskb.shape == (32, 32, 1)
+    assert float(maskb.sum()) > 100  # most of the atlas covered
+    assert np.isfinite(np.asarray(kd)).all()
+
+
+def test_validate_view_psnr():
+    img = jnp.ones((8, 8, 4)) * 0.5
+    buf = {"shaded": img}
+    mse, psnr = validate_view(buf, img)
+    assert float(mse) < 1e-10
+    assert float(psnr) >= 100.0 - 1e-3
+
+
+def test_chamfer_identical_meshes():
+    mesh = quad_mesh()
+    cd = chamfer_distance(
+        jax.random.PRNGKey(0), mesh.v_pos, mesh.t_pos_idx,
+        mesh.v_pos, mesh.t_pos_idx, n_samples=4096,
+    )
+    assert float(cd) < 1e-3
+    mesh2 = quad_mesh(z=0.5)
+    cd2 = chamfer_distance(
+        jax.random.PRNGKey(0), mesh.v_pos, mesh.t_pos_idx,
+        mesh2.v_pos, mesh2.t_pos_idx, n_samples=4096,
+    )
+    assert float(cd2) > 0.4  # ≈ 2 × 0.25 (squared distance both ways)
