@@ -34,6 +34,7 @@ from ..ops.rasterize import (
     bary_screen_derivs,
     interpolate,
     rasterize,
+    rasterize_peel,
     rasterize_tiled,
 )
 from ..ops.shade import env_shade
@@ -263,3 +264,68 @@ def render_uv(
     all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos)
     mask = (rast.tri_id > 0).astype(jnp.float32)[..., None]
     return mask, all_tex[..., 0:3], all_tex[..., 3:6]
+
+
+def render_second_layer(
+    key: jax.Array,
+    verts: jax.Array,
+    faces: jax.Array,
+    v_nrm: jax.Array,
+    mat_params: MLPTexture3DParams,
+    mat_cfg: MLPTexture3DConfig,
+    mvp: jax.Array,
+    campos: jax.Array,
+    light: EnvLight,
+    flags: RenderFlags,
+    background: Optional[jax.Array] = None,
+    shadow_scale: jax.Array | float = 0.0,
+    visibility_fn=None,
+) -> dict:
+    """Second depth layer (ref use_img_2nd_layer losses,
+    gshell_tets_geometry.py:287-297): rasterize the 2nd-nearest surface per
+    pixel, shade it, composite + antialias.  Returns
+    {'shaded_second', 'invdepth_second'}."""
+    h, w = flags.resolution
+    v_clip = xfm_points(verts, mvp)
+    _, rast2 = rasterize_peel(v_clip, faces, (h, w), chunk=flags.raster_chunk, n_layers=2)
+    mask = (rast2.tri_id > 0).astype(jnp.float32)[..., None]
+
+    gb_pos = interpolate(verts, rast2, faces, v_clip=v_clip)
+    gb_nrm = interpolate(v_nrm, rast2, faces, v_clip=v_clip)
+    fn = compute_face_normals(verts, faces)
+    fid = jnp.maximum(rast2.tri_id - 1, 0)
+    gb_geo = fn[fid] * mask
+    k_tng, k_shade = jax.random.split(key)
+    noise = safe_normalize(jax.random.normal(k_tng, gb_nrm.shape))
+    gb_tangent = jnp.cross(noise, gb_nrm)
+    view_pos = jnp.broadcast_to(campos.reshape(1, 1, 3), gb_pos.shape)
+    gb_normal = bsdf_ops.prepare_shading_normal(
+        gb_pos, view_pos, None, gb_nrm, gb_tangent, gb_geo,
+        two_sided_shading=True, opengl=True,
+    )
+    all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos)
+    kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
+    p = h * w
+    out = env_shade(
+        k_shade, mask.reshape(p, 1), (gb_pos + gb_normal * 1e-3).reshape(p, 3),
+        gb_pos.reshape(p, 3), gb_normal.reshape(p, 3), view_pos.reshape(p, 3),
+        kd.reshape(p, 3), ks.reshape(p, 3), light,
+        n_samples_x=flags.n_samples, bsdf=flags.bsdf,
+        shadow_scale=shadow_scale, visibility_fn=visibility_fn,
+    )
+    kd_m = kd * (1.0 - ks[..., 2:3])
+    shaded = out.diffuse.reshape(h, w, 3) * kd_m + out.specular.reshape(h, w, 3)
+    if background is None:
+        background = jnp.zeros((h, w, 3))
+    comp = background * (1.0 - mask) + shaded * mask
+    comp_rgba = jnp.concatenate([comp, mask], -1)
+    shaded_aa = antialias(comp_rgba, rast2, v_clip, faces)
+    dist = jnp.sqrt(
+        jnp.clip(jnp.sum((gb_pos - view_pos) ** 2, -1, keepdims=True), min=1e-12)
+    )
+    return {
+        "shaded_second": shaded_aa,
+        "invdepth_second": jnp.concatenate(
+            [(1.0 / dist) * mask, jnp.ones_like(mask)], -1
+        ),
+    }
