@@ -23,9 +23,10 @@ from gshell_tpu.render.material import (
 )
 from gshell_tpu.render.render import RenderFlags, render_mesh
 
-RES = 128
-GRID = 32
-NSAMP = 2
+import sys
+RES = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+GRID = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+NSAMP = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
 
 def timeit(name, fn, *args, n=8):
@@ -96,7 +97,7 @@ def main():
         lambda k: env_shade(k, mask, pos, pos, nrm, view_b, kd, ks, light,
                             n_samples_x=NSAMP, bsdf="pbr", shadow_scale=0.0)
     )
-    timeit("env_shade (no shadows)", shade_ns, key)
+    timeit("env_shade (no shadows)", shade_ns, key, n=4)
 
     sdf_grid = geo.sdf_lattice(params)
     vis = make_sdf_visibility(sdf_grid, (-0.7,) * 3, (1.4,) * 3)
@@ -105,17 +106,22 @@ def main():
                             n_samples_x=NSAMP, bsdf="pbr", shadow_scale=1.0,
                             visibility_fn=vis)
     )
-    timeit("env_shade (with shadows)", shade_sh, key)
+    timeit("env_shade (with shadows)", shade_sh, key, n=4)
 
     vis_only = jax.jit(lambda: vis(pos, nrm))
     timeit("visibility(1 batch rays)", vis_only)
+
+    shade_bwd = jax.jit(jax.grad(lambda kd_s: env_shade(
+        key, mask, pos, pos, nrm, view_b, kd_s, ks, light,
+        n_samples_x=NSAMP, bsdf="pbr", shadow_scale=0.0).diffuse.sum()))
+    timeit("env_shade bwd (no shadows)", shade_bwd, kd, n=4)
 
     flags = RenderFlags(resolution=(RES, RES), n_samples=NSAMP, bsdf="pbr", use_denoiser=False, raster_chunk=512)
     full = jax.jit(
         lambda k, pg: render_mesh(k, *(lambda m: (m.verts, m.faces, m.v_nrm, m.msdf))(geo.get_mesh(pg)),
                                   mat_params, mat_cfg, mvp, campos, light, flags, shadow_scale=0.0)["shaded"]
     )
-    timeit("full fwd render (no shadow)", full, key, params)
+    timeit("full fwd render (no shadow)", full, key, params, n=4)
 
     def loss(pg, mp, lb, k):
         mesh = geo.get_mesh(pg)
@@ -125,7 +131,7 @@ def main():
         return buf["shaded"].sum()
 
     grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-    timeit("full fwd+bwd (no shadow)", grad_fn, params, mat_params, light.base, key)
+    timeit("full fwd+bwd (no shadow)", grad_fn, params, mat_params, light.base, key, n=4)
 
 
 if __name__ == "__main__":
