@@ -227,7 +227,7 @@ def make_sdf_visibility_parts(
     sdf_grid: jax.Array,
     aabb_min,
     aabb_size,
-    n_steps: int = 32,
+    n_steps: int = 24,
     t_min_vox: float = 2.0,
     occlusion_threshold: float = 0.0,
     mode: str = "nearest",
@@ -309,7 +309,7 @@ def make_sdf_visibility(
     sdf_grid: jax.Array,
     aabb_min,
     aabb_size,
-    n_steps: int = 32,
+    n_steps: int = 24,
     t_min_vox: float = 2.0,
     occlusion_threshold: float = 0.0,
     mode: str = "nearest",
@@ -332,7 +332,7 @@ def make_sdf_visibility(
 
 
 def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init_of: Callable):
-    """Σᵢ step_contrib(args, i) with O(pixels) memory under reverse-mode AD.
+    """Σᵢ step_contrib(args, i, aux_i)₀ with O(pixels) memory under AD.
 
     A scan's backward normally stores per-iteration residuals — for an
     n²-sample MC loop over a 512² image that's gigabytes.  But for a pure
@@ -343,24 +343,41 @@ def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init_of: Callable
     reference's fused forward+backward OptiX kernel, kernel.cu:424-459 —
     the backward re-traces the same rays and accumulates atomically.)
 
+    ``step_contrib(args, i, aux)`` returns ``(contribution, aux_out)``:
+    ``aux_out`` carries small per-sample *detached* intermediates (shadow
+    visibilities) that the forward saves so the backward re-walk skips the
+    most expensive recomputation (the 32-step shadow march).  The forward
+    pass is called with ``aux=None``; the backward with the saved slice.
+
     ``args`` must be a float-only pytree (pack RNG keys via bitcast).
     """
 
     @jax.custom_vjp
     def run(args):
         def body(i, acc):
-            return acc + step_contrib(args, i)
+            c, _ = step_contrib(args, i, None)
+            return acc + c
 
         # init derived from args: keeps shard_map varying-axis tracking
         # consistent AND avoids closing over outer-scope tracers
         return jax.lax.fori_loop(0, n_steps, body, init_of(args))
 
     def fwd(args):
-        return run(args), args
+        def body(acc, i):
+            c, aux = step_contrib(args, i, None)
+            return acc + c, aux
 
-    def bwd(args, g):
+        total, aux_stack = jax.lax.scan(
+            lambda acc, i: body(acc, i), init_of(args), jnp.arange(n_steps)
+        )
+        return total, (args, jax.lax.stop_gradient(aux_stack))
+
+    def bwd(res, g):
+        args, aux_stack = res
+
         def body(i, acc):
-            _, vjp = jax.vjp(lambda a: step_contrib(a, i), args)
+            aux_i = jax.tree_util.tree_map(lambda t: t[i], aux_stack)
+            _, vjp = jax.vjp(lambda a: step_contrib(a, i, aux_i)[0], args)
             (gi,) = vjp(g)
             return jax.tree_util.tree_map(jnp.add, acc, gi)
 
@@ -459,7 +476,7 @@ def env_shade(
         "vis": vis_consts,
     }
 
-    def step_contrib(a, s):
+    def step_contrib(a, s, aux):
         gb_normal = a["gb_normal"]
         kd, ks = a["kd"], a["ks"]
         light = a["light"]
@@ -491,7 +508,9 @@ def env_shade(
             w = mis * (1.0 / n2) * v
             return diff * light_col * w, spec * light_col * w
 
-        def shadow(ray_dir):
+        def shadow(ray_dir, slot):
+            if aux is not None:  # backward re-walk: reuse saved visibility
+                return aux[:, slot : slot + 1]
             if vis_cfg is not None:
                 return jax.lax.stop_gradient(
                     apply_visibility(vis_cfg, a["vis"], a["ro"], ray_dir)
@@ -514,7 +533,8 @@ def env_shade(
             pdf_b = _cosine_pdf(gb_normal, ray_dir)
         else:
             pdf_b = bsdf_pdf(p_diffuse, gb_normal, wo, ray_dir, alpha)
-        d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, shadow(ray_dir))
+        vis1 = shadow(ray_dir, 0)
+        d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, vis1)
 
         # --- strategy 2: BSDF sampling (ref :521-529)
         bu = jnp.mod((sx_i + u[:, 2]) * strata + rot[:, 2], 1.0)
@@ -524,9 +544,11 @@ def env_shade(
             diffuse_only=diffuse_only,
         )
         pdf_l2 = light_pdf(light, ray_dir2)
-        d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, shadow(ray_dir2))
+        vis2 = shadow(ray_dir2, 1)
+        d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, vis2)
 
-        return jnp.concatenate([d1 + d2, s1 + s2], axis=-1)  # (P, 6)
+        contrib = jnp.concatenate([d1 + d2, s1 + s2], axis=-1)  # (P, 6)
+        return contrib, jnp.concatenate([vis1, vis2], axis=-1)  # aux (P, 2)
 
     init_of = lambda a: jnp.concatenate(
         [jnp.zeros_like(a["gb_pos"]), jnp.zeros_like(a["gb_pos"])], -1

@@ -89,11 +89,14 @@ def _bsearch(cdf, x):
     n = cdf.shape[-1]
     p = x.shape[0]
     per_row = cdf.ndim == 2
+    if not per_row:
+        # shared CDF: compare-all beats binary search on the VPU —
+        # (P, N) compares + row-sum, zero gathers
+        idx = jnp.sum((cdf[None, :] <= x[:, None]).astype(jnp.int32), axis=-1)
+        return jnp.clip(idx, 0, n - 1)
 
     def at(i):
-        if per_row:
-            return jnp.take_along_axis(cdf, i[:, None], axis=-1)[:, 0]
-        return cdf[i]
+        return jnp.take_along_axis(cdf, i[:, None], axis=-1)[:, 0]
 
     idx = jnp.zeros((p,), jnp.int32)  # lower bound (exclusive count)
     width = 1 << (n - 1).bit_length()
