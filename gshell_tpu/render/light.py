@@ -129,6 +129,30 @@ def _sample_cdf(cdf, x):
     return idx, residual
 
 
+def _sample_cdf_2d(cols: jax.Array, y: jax.Array, x: jax.Array):
+    """Per-row inverse CDF via galloping search with direct 2D gathers —
+    never materializes the (P, W) row gather (½ GB at 512² × W=512)."""
+    n = cols.shape[-1]
+    x = jnp.minimum(x, 0.99999994)
+
+    def at(i):
+        return cols[y, i]
+
+    idx = jnp.zeros(y.shape, jnp.int32)
+    step = 1 << (n - 1).bit_length()
+    while step > 0:
+        cand = idx + step
+        ok = (cand <= n) & (at(jnp.minimum(cand, n) - 1) <= x)
+        idx = jnp.where(ok, cand, idx)
+        step >>= 1
+    idx = jnp.clip(idx, 0, n - 1)
+    hi = at(idx)
+    lo = jnp.where(idx > 0, at(jnp.maximum(idx - 1, 0)), 0.0)
+    pdf = jnp.maximum(hi - lo, 1e-12)
+    residual = jnp.minimum((x - lo) / pdf, 0.99999994)
+    return idx, residual
+
+
 def sample_light(light: EnvLight, u: jax.Array, v: jax.Array):
     """Importance-sample directions from the environment
     (ref ``kernel.cu:184-193`` lightSample).  u, v: (...,) uniforms.
@@ -137,8 +161,7 @@ def sample_light(light: EnvLight, u: jax.Array, v: jax.Array):
     shp = u.shape
     uf, vf = u.reshape(-1), v.reshape(-1)
     y, ry = _sample_cdf(light.rows, vf)
-    cols_y = light.cols[y]  # (P, W)
-    x, rx = _sample_cdf(cols_y, uf)
+    x, rx = _sample_cdf_2d(light.cols, y, uf)
     uv = jnp.stack(
         [(x.astype(u.dtype) + rx) / w, (y.astype(v.dtype) + ry) / h], axis=-1
     )
