@@ -74,6 +74,16 @@ def main():
 
     timeit("rasterize(compacted /4)", compact_raster, v_clip, mesh.faces, mesh.face_valid)
 
+    from gshell_tpu.ops.rasterize import rasterize_tiled
+    from gshell_tpu.ops.mesh_ops import compact_faces
+
+    @jax.jit
+    def tiled_raster(v, faces, valid):
+        fc, _, _ = compact_faces(faces, valid, cap=faces.shape[0] // 4)
+        return rasterize_tiled(v, fc, (RES, RES), tile=16, max_per_tile=1024)
+
+    timeit("rasterize_tiled(compacted)", tiled_raster, v_clip, mesh.faces, mesh.face_valid)
+
     interp_fn = jax.jit(lambda a, f, v: interpolate(a, rast, f, v_clip=v))
     timeit("interpolate(pos)", interp_fn, mesh.verts, mesh.faces, v_clip)
 
