@@ -82,31 +82,40 @@ def _corner_index(ix: jax.Array, iy: jax.Array, iz: jax.Array, res: int, table_s
 
 
 def hashgrid_encode(params: HashGridParams, x: jax.Array, cfg: HashGridConfig) -> jax.Array:
-    """Encode points x ∈ [0,1]^(...,3) → (..., L*F) features."""
+    """Encode points x ∈ [0,1]^(...,3) → (..., L*F) features.
+
+    TPU shape: all L levels × 8 corners are folded into ONE fused gather
+    from the flattened (L·T, F) table — a single (P, 8L) index array instead
+    of 8·L separate gather kernels; the trilinear blend is one weighted
+    reduction over the corner axis."""
     shp = x.shape[:-1]
     x = x.reshape(-1, 3)
     x = jnp.clip(x, 0.0, 1.0)
+    p = x.shape[0]
+    L = cfg.n_levels
+    T = cfg.table_size
 
-    outs = []
+    idx_all = []
+    wgt_all = []
     for level, res in enumerate(cfg.level_resolutions()):
         xs = x * res  # cell coords in [0, res]
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
         t = xs - x0.astype(xs.dtype)  # fractional, in [0,1]
-
-        table = params.tables[level]
-        feat = 0.0
         for cx in (0, 1):
             for cy in (0, 1):
                 for cz in (0, 1):
                     idx = _corner_index(
-                        x0[:, 0] + cx, x0[:, 1] + cy, x0[:, 2] + cz, res, cfg.table_size
+                        x0[:, 0] + cx, x0[:, 1] + cy, x0[:, 2] + cz, res, T
                     )
-                    wgt = (
+                    idx_all.append(idx + level * T)
+                    wgt_all.append(
                         (t[:, 0] if cx else 1.0 - t[:, 0])
                         * (t[:, 1] if cy else 1.0 - t[:, 1])
                         * (t[:, 2] if cz else 1.0 - t[:, 2])
                     )
-                    feat = feat + table[idx] * wgt[:, None]
-        outs.append(feat)
-    out = jnp.concatenate(outs, axis=-1)
+    idx = jnp.stack(idx_all, axis=1)  # (P, 8L)
+    wgt = jnp.stack(wgt_all, axis=1)  # (P, 8L)
+    flat = params.tables.reshape(L * T, cfg.n_features)
+    feats = flat[idx]  # (P, 8L, F) — one gather
+    out = (feats * wgt[..., None]).reshape(p, L, 8, cfg.n_features).sum(axis=2)
     return out.reshape(*shp, cfg.out_dim)
