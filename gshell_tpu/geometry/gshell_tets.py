@@ -39,7 +39,47 @@ import numpy as np
 from ..ops.math import build_orthonormal_basis
 from ..ops.mesh_ops import auto_normals
 from . import tet_tables as tt
-from .tet_grid import TetGrid, default_capacities
+from .tet_grid import EDGE_OFFSETS, TetGrid, _PATHS, default_capacities
+
+
+def _tet_corner_offsets():
+    """(6, 4, 3) lattice offsets of each path-tet's corners (Freudenthal)."""
+    out = np.zeros((6, 4, 3), np.int64)
+    for p, path in enumerate(_PATHS):
+        for s, ax in enumerate(path):
+            out[p, s + 1] = out[p, s]
+            out[p, s + 1, ax] += 1
+    return out
+
+
+_TET_CORNERS = _tet_corner_offsets()
+
+
+def _volume_occ4(vol: jax.Array, res: int) -> jax.Array:
+    """(T, 4) per-tet corner values via shifted slices of the (R+1)³ volume —
+    zero gathers.  Tet order matches ``build_tet_grid`` (cube-major, 6 path
+    tets per cube)."""
+    per_path = []
+    for p in range(6):
+        corners = [
+            vol[dx : dx + res, dy : dy + res, dz : dz + res].reshape(-1)
+            for dx, dy, dz in _TET_CORNERS[p]
+        ]
+        per_path.append(jnp.stack(corners, axis=-1))  # (R³, 4)
+    return jnp.stack(per_path, axis=1).reshape(-1, 4)  # (R³, 6, 4) → (T, 4)
+
+
+def _volume_edge_vals(vol: jax.Array, res: int):
+    """Per unique edge, (value_lo, value_hi) via shifted slices — the
+    class-major ravel matches the analytic edge numbering exactly."""
+    n = res + 1
+    lo_list, hi_list = [], []
+    for ox, oy, oz in EDGE_OFFSETS:
+        lo = vol[: n - ox, : n - oy, : n - oz].reshape(-1)
+        hi = vol[ox:, oy:, oz:].reshape(-1)
+        lo_list.append(lo)
+        hi_list.append(hi)
+    return jnp.concatenate(lo_list), jnp.concatenate(hi_list)
 
 
 class GShellMesh(NamedTuple):
@@ -179,19 +219,26 @@ class GShellTets:
         occ_p = sdf_p > 0
 
         # ---- valid tets (ref :249-263) --------------------------------
-        occ4 = occ_p[self.tets_pad[:-1]]  # (T, 4)
+        # Occupancy tests via shifted slices of the lattice volume — the
+        # analytic tet/edge numbering makes these exact, gather-free
+        # replacements for the reference's index_select storms.
+        res = self.grid.res
+        n_lat = res + 1
+        occ_vol = (sdf > 0).reshape(n_lat, n_lat, n_lat)
+        occ4 = _volume_occ4(occ_vol, res)  # (T, 4)
         occ_sum = occ4.sum(axis=-1)
         valid = (occ_sum > 0) & (occ_sum < 4)
         if not watertight_template:
-            msdf4 = msdf_p[self.tets_pad[:-1]] > 0
+            msdf_vol = (msdf > 0).reshape(n_lat, n_lat, n_lat)
+            msdf4 = _volume_occ4(msdf_vol, res)
             valid = valid & (msdf4.sum(axis=-1) > 0)
         n_valid = valid.sum().astype(jnp.int32)
         (tet_slots,) = jnp.nonzero(valid, size=MT, fill_value=T)
         tet_valid = tet_slots < T
 
         # ---- crossing edges → template vertices (ref :266-290) --------
-        e_occ = occ_p[self.edges_pad[:-1]]  # (E, 2)
-        crossing = e_occ[:, 0] != e_occ[:, 1]
+        e_lo, e_hi = _volume_edge_vals(occ_vol, res)
+        crossing = e_lo != e_hi
         n_cross = crossing.sum().astype(jnp.int32)
         (edge_slots,) = jnp.nonzero(crossing, size=V, fill_value=E)
         slot_valid = edge_slots < E
@@ -225,8 +272,10 @@ class GShellTets:
         msdf_sg_buf = jnp.concatenate([msdf_vert_sg, jnp.zeros((1,), msdf_vert_sg.dtype)])
 
         # ---- per-tet template faces (ref :294-316) ---------------------
-        g_tets = self.tets_pad[tet_slots]  # (MT, 4)
-        g_occ4 = occ_p[g_tets].astype(jnp.int32)
+        occ4_pad = jnp.concatenate(
+            [occ4, jnp.ones((1, 4), occ4.dtype)], axis=0
+        )  # sentinel row → tetindex 15 → 0 triangles
+        g_occ4 = occ4_pad[tet_slots].astype(jnp.int32)
         tetindex = (g_occ4 * jnp.asarray([1, 2, 4, 8], jnp.int32)).sum(axis=-1)
         num_tri = self.num_tri_table[tetindex]  # (MT,) ∈ {0,1,2}
 
