@@ -376,8 +376,8 @@ class DatasetMesh(PosedImageDataset):
             view = gmath.lookat(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
             mvp = proj @ view
             buf = render_view(jax.random.PRNGKey(i), mvp, eye)
-            img = np.asarray(buf["shaded"])
-            img[..., 0:3] *= img[..., 3:]
+            img = np.array(buf["shaded"])  # writable copy (np.asarray of a
+            img[..., 0:3] *= img[..., 3:]  # jax array is read-only)
             mvps.append(np.asarray(mvp))
             camposs.append(np.asarray(eye))
             imgs.append(img)

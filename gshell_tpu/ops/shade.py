@@ -240,24 +240,7 @@ def make_sdf_visibility_parts(
     import numpy as np
 
     diag = float(np.linalg.norm(np.asarray(aabb_size, np.float64)))
-    grid = jax.lax.stop_gradient(sdf_grid)
-    while grid.shape[0] > max_grid_res and (grid.shape[0] - 1) % 2 == 0:
-        rr = grid.shape[0] - 1
-        g = grid
-        sub = jnp.max(
-            jnp.stack(
-                [
-                    g[dx : dx + rr : 2, dy : dy + rr : 2, dz : dz + rr : 2]
-                    for dx in (0, 1)
-                    for dy in (0, 1)
-                    for dz in (0, 1)
-                ]
-            ),
-            axis=0,
-        )
-        sub = jnp.pad(sub, ((0, 1), (0, 1), (0, 1)), mode="edge")
-        sub = sub.at[-1, :, :].set(jnp.maximum(sub[-1], g[-1, ::2, ::2]))
-        grid = sub
+    grid = _downsample_occupancy(jax.lax.stop_gradient(sdf_grid), max_grid_res)
     r = grid.shape[0] - 1
     vox = diag / max(r, 1)
     t0 = t_min_vox * vox
@@ -276,8 +259,11 @@ def make_sdf_visibility_parts(
     return cfg, {"grid": grid}
 
 
-def apply_visibility(cfg: VisibilityCfg, consts: dict, ro: jax.Array, rd: jax.Array) -> jax.Array:
-    """March rays through the occupancy volume (see make_sdf_visibility)."""
+def apply_visibility(cfg, consts: dict, ro: jax.Array, rd: jax.Array) -> jax.Array:
+    """Shadow-test rays: dispatch to the marcher (VisibilityCfg) or the swept
+    shadow field (ShadowFieldCfg)."""
+    if isinstance(cfg, ShadowFieldCfg):
+        return _apply_shadow_field(cfg, consts, ro, rd)
     grid = consts["grid"]
     n = grid.shape[0]
     r = cfg.r
@@ -324,6 +310,219 @@ def make_sdf_visibility(
         occlusion_threshold, mode, max_grid_res,
     )
     return lambda ro, rd: apply_visibility(cfg, consts, ro, rd)
+
+
+# ----------------------------------------------------------------------------
+# Swept directional shadow field (gather-free precompute, 1 gather per query)
+# ----------------------------------------------------------------------------
+#
+# The per-ray occupancy march above costs n_steps gathers per shadow ray —
+# measured gather-bound at ~8-12 ns/element, it dominates the shading step
+# (the reference instead traces a BVH per ray, kernel.cu:101-118).  The
+# TPU-idiomatic alternative: shadow tests only ever ask "is any occupied
+# voxel along direction ω from point p", and ω is drawn from ONE environment
+# light shared by every pixel.  So precompute, once per training step, a
+# *directional shadow field*: for K fixed directions (octahedral binning of
+# the sphere), sweep the occupancy volume far→near along the direction with
+# a per-slice DDA shift — a lax.scan of shifted-slice maxima, pure VPU work,
+# zero gathers — and bit-pack the K binary volumes along z.  Each shadow
+# query then quantizes its direction to the nearest bin and does a SINGLE
+# word gather.  Direction quantization error (≈ half a bin, ~5-7° at ko=16)
+# is dithered away by the stratified MC sampling that averages n² samples
+# per pixel; visibility carries no gradients in the reference either
+# (kernel.cu:97-99), so the approximation only touches variance, not bias
+# of the gradient estimator.
+
+
+class ShadowFieldCfg(NamedTuple):
+    """Static config for the swept shadow field (python scalars only)."""
+
+    ko: int  # octahedral bins per side (K = ko²)
+    r: int  # volume res (n = r+1 samples per side)
+    words: int  # uint32 words per z-column
+    t0: float  # self-shadow offset along the TRUE sample direction (world)
+    aabb_min: tuple
+    aabb_scale: tuple
+
+
+def _oct_bin_centers(ko: int):
+    """Unit direction at the center of each octahedral-map bin (numpy)."""
+    import numpy as np
+
+    c = (np.arange(ko) + 0.5) / ko * 2.0 - 1.0
+    fx, fy = np.meshgrid(c, c, indexing="ij")
+    z = 1.0 - np.abs(fx) - np.abs(fy)
+    t = np.clip(-z, 0.0, 1.0)
+    x = fx - np.where(fx >= 0, 1.0, -1.0) * t
+    y = fy - np.where(fy >= 0, 1.0, -1.0) * t
+    d = np.stack([x, y, z], -1).reshape(-1, 3)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def oct_bin_index(rd: jax.Array, ko: int) -> jax.Array:
+    """Flat octahedral bin index of unit directions rd (..., 3) (traced)."""
+    ax = jnp.abs(rd)
+    s = jnp.maximum(ax[..., 0] + ax[..., 1] + ax[..., 2], 1e-12)
+    px, py = rd[..., 0] / s, rd[..., 1] / s
+    sgn = lambda v: jnp.where(v >= 0, 1.0, -1.0)
+    px2 = (1.0 - jnp.abs(py)) * sgn(px)
+    py2 = (1.0 - jnp.abs(px)) * sgn(py)
+    neg = rd[..., 2] < 0
+    u = jnp.where(neg, px2, px) * 0.5 + 0.5
+    v = jnp.where(neg, py2, py) * 0.5 + 0.5
+    iu = jnp.clip((u * ko).astype(jnp.int32), 0, ko - 1)
+    iv = jnp.clip((v * ko).astype(jnp.int32), 0, ko - 1)
+    return iu * ko + iv
+
+
+def _downsample_occupancy(grid: jax.Array, max_grid_res: int) -> jax.Array:
+    """Conservative (max-pool) 2× downsampling until res ≤ max_grid_res."""
+    while grid.shape[0] > max_grid_res and (grid.shape[0] - 1) % 2 == 0:
+        rr = grid.shape[0] - 1
+        g = grid
+        sub = jnp.max(
+            jnp.stack(
+                [
+                    g[dx : dx + rr : 2, dy : dy + rr : 2, dz : dz + rr : 2]
+                    for dx in (0, 1)
+                    for dy in (0, 1)
+                    for dz in (0, 1)
+                ]
+            ),
+            axis=0,
+        )
+        sub = jnp.pad(sub, ((0, 1), (0, 1), (0, 1)), mode="edge")
+        sub = sub.at[-1, :, :].set(jnp.maximum(sub[-1], g[-1, ::2, ::2]))
+        grid = sub
+    return grid
+
+
+def _sweep_shadow_group(vol: jax.Array, shifts_u, shifts_v) -> jax.Array:
+    """Occlusion sweep for D directions sharing a dominant axis/sign.
+
+    ``vol`` (n, nu, nv) binary occupancy, axis 0 = travel direction (toward
+    the light).  ``shifts_u/v`` (n, D) int32 per-slice DDA increments in
+    {-1, 0, 1}.  Returns (D, n, nu, nv): out[d, k] = 1 where some occupied
+    voxel lies along direction d strictly beyond slice k.  One scan, six
+    pad/slice ops per step — no gathers.
+    """
+    n, nu, nv = vol.shape
+    d = shifts_u.shape[1]
+
+    def shift1(b, delta, axis):
+        # b (D, nu, nv); sample b at (index + delta) with zero fill
+        pad = [(0, 0)] * 3
+        pad[axis] = (1, 1)
+        bp = jnp.pad(b, pad)
+        sl = lambda j: jax.lax.slice_in_dim(bp, j, j + b.shape[axis], axis=axis)
+        dexp = delta.reshape((d,) + (1, 1))
+        return jnp.where(dexp == -1, sl(0), jnp.where(dexp == 0, b, sl(2)))
+
+    def step(carry, x):
+        slice_k, su, sv = x
+        out = carry  # A_k: occlusion beyond slice k
+        b = jnp.maximum(slice_k[None], carry)
+        nxt = shift1(shift1(b, su, 1), sv, 2)  # A_{k-1}
+        return nxt, out
+
+    _, outs = jax.lax.scan(
+        step,
+        jnp.zeros((d, nu, nv), vol.dtype),
+        (vol, shifts_u.astype(jnp.int32), shifts_v.astype(jnp.int32)),
+        reverse=True,
+    )
+    return jnp.moveaxis(outs, 0, 1)  # (D, n, nu, nv)
+
+
+def make_shadow_field_parts(
+    sdf_grid: jax.Array,
+    aabb_min,
+    aabb_size,
+    ko: int = 16,
+    t_min_vox: float = 2.0,
+    occlusion_threshold: float = 0.0,
+    max_grid_res: int = 65,
+):
+    """(ShadowFieldCfg, consts) shadow tester — drop-in for
+    :func:`make_sdf_visibility_parts` with ~n_steps× fewer gathers."""
+    import numpy as np
+
+    grid = _downsample_occupancy(jax.lax.stop_gradient(sdf_grid), max_grid_res)
+    occ = (grid > occlusion_threshold).astype(jnp.float32)
+    n = occ.shape[0]
+    r = n - 1
+    k_total = ko * ko
+    dirs = _oct_bin_centers(ko)  # (K, 3) static
+
+    field = jnp.zeros((k_total, n, n, n), jnp.float32)
+    axes_dom = np.argmax(np.abs(dirs), axis=-1)
+    signs = np.sign(dirs[np.arange(k_total), axes_dom])
+    for a in range(3):
+        perm = (a, (a + 1) % 3, (a + 2) % 3)
+        inv = tuple(int(np.argsort(perm)[i]) for i in range(3))
+        for s in (1.0, -1.0):
+            sel = np.nonzero((axes_dom == a) & (signs == s))[0]
+            if sel.size == 0:
+                continue
+            dgrp = dirs[sel]
+            dom = np.abs(dgrp[:, a])
+            du = dgrp[:, perm[1]] / dom  # per-slice drift, |du| ≤ 1
+            dv = dgrp[:, perm[2]] / dom
+            # DDA increments at absolute slice index k (k=0 unused)
+            ks = np.arange(n)[:, None]
+            su = np.round(ks * du[None]) - np.round((ks - 1) * du[None])
+            sv = np.round(ks * dv[None]) - np.round((ks - 1) * dv[None])
+            vol = jnp.transpose(occ, perm)
+            if s < 0:
+                vol = jnp.flip(vol, axis=0)
+            out = _sweep_shadow_group(
+                vol, jnp.asarray(su, jnp.int32), jnp.asarray(sv, jnp.int32)
+            )
+            if s < 0:
+                out = jnp.flip(out, axis=1)
+            out = jnp.transpose(out, (0,) + tuple(i + 1 for i in inv))
+            field = field.at[jnp.asarray(sel)].set(out)
+
+    # bit-pack along z: (K, n, n, W) uint32 → bitcast f32 (rides custom-VJP
+    # accumulator args; integer/bool leaves would produce float0 cotangents)
+    words = (n + 31) // 32
+    pad_z = words * 32 - n
+    bits = jnp.pad(field, ((0, 0),) * 3 + ((0, pad_z),)).astype(jnp.uint32)
+    bits = bits.reshape(k_total, n, n, words, 32)
+    packed = (bits << jnp.arange(32, dtype=jnp.uint32)).sum(
+        axis=-1, dtype=jnp.uint32
+    )
+    packed_f = jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+    diag = float(np.linalg.norm(np.asarray(aabb_size, np.float64)))
+    cfg = ShadowFieldCfg(
+        ko=ko,
+        r=r,
+        words=words,
+        t0=t_min_vox * diag / max(r, 1),
+        aabb_min=tuple(float(v) for v in np.asarray(aabb_min, np.float64)),
+        aabb_scale=tuple(float(v) for v in 1.0 / np.asarray(aabb_size, np.float64)),
+    )
+    return cfg, {"field": packed_f}
+
+
+def _apply_shadow_field(
+    cfg: ShadowFieldCfg, consts: dict, ro: jax.Array, rd: jax.Array
+) -> jax.Array:
+    field = jax.lax.bitcast_convert_type(consts["field"], jnp.uint32).reshape(-1)
+    n = cfg.r + 1
+    aabb_min = jnp.asarray(cfg.aabb_min, ro.dtype)
+    aabb_scale = jnp.asarray(cfg.aabb_scale, ro.dtype)
+    k = oct_bin_index(rd, cfg.ko)
+    q = (ro + rd * cfg.t0 - aabb_min) * aabb_scale * cfg.r
+    inside = ((q >= 0.0) & (q <= cfg.r)).all(axis=-1)
+    qi = jnp.clip(jnp.round(q).astype(jnp.int32), 0, cfg.r)
+    z = qi[..., 2]
+    idx = (((k * n + qi[..., 0]) * n + qi[..., 1]) * cfg.words) + z // 32
+    word = field[idx]
+    occluded = (word >> (z % 32).astype(jnp.uint32)) & jnp.uint32(1)
+    vis = jnp.where(inside, 1.0 - occluded.astype(ro.dtype), 1.0)
+    return vis[..., None]
 
 
 # ----------------------------------------------------------------------------

@@ -26,7 +26,7 @@ import optax
 
 from ..geometry.geometry import GeometryConfig, GShellGeometry
 from ..ops.image_loss import create_loss
-from ..ops.shade import make_sdf_visibility_parts
+from ..ops.shade import make_sdf_visibility_parts, make_shadow_field_parts
 from ..render.light import update_pdf
 from ..render.material import MLPTexture3DConfig, MLPTexture3DParams
 from ..render.render import RenderFlags
@@ -43,6 +43,10 @@ class TrainConfig:
     shadow_ramp_iters: int = 1000  # ref tick :264
     use_shadows: bool = True
     shadow_grid_res: int = 64
+    # 'field': swept directional shadow field (1 gather/query; TPU-fast);
+    # 'march': per-ray occupancy marching (n_steps gathers/query)
+    shadow_method: str = "field"
+    shadow_ko: int = 16  # octahedral bins per side for 'field'
 
 
 def _lr_schedule(base: float):
@@ -134,9 +138,14 @@ class Reconstructor:
                 sdf_grid = self.geo.sdf_lattice(params_geo)
                 # (cfg, consts) parts form: the traced shadow volume rides the
                 # MC accumulator's args (no tracer closures under lax.map)
-                visibility_fn = make_sdf_visibility_parts(
-                    sdf_grid, self.aabb_min, self.aabb_size
-                )
+                if tcfg.shadow_method == "field":
+                    visibility_fn = make_shadow_field_parts(
+                        sdf_grid, self.aabb_min, self.aabb_size, ko=tcfg.shadow_ko
+                    )
+                else:
+                    visibility_fn = make_sdf_visibility_parts(
+                        sdf_grid, self.aabb_min, self.aabb_size
+                    )
             else:
                 visibility_fn = None
             img_loss, reg_loss, aux = self.geo.tick(
