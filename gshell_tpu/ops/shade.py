@@ -29,9 +29,16 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..render.light import EnvLight, eval_light, light_pdf, sample_light
+from ..render.light import EnvLight, eval_light, sample_light
 from .bsdf import lambert, pbr_specular
-from .math import build_orthonormal_basis, cosine_sample, dot, luminance, safe_normalize
+from .math import (
+    build_orthonormal_basis,
+    cosine_sample,
+    dir_to_latlong_uv,
+    dot,
+    luminance,
+    safe_normalize,
+)
 
 # ----------------------------------------------------------------------------
 # GGX-VNDF importance sampling (ref kernel.cu:217-331)
@@ -633,6 +640,7 @@ def env_shade(
     bsdf: str = "pbr",
     shadow_scale: float = 1.0,
     visibility_fn: Callable | None = None,
+    light_pool: int = 1024,
 ) -> ShadeBuffers:
     """Estimate (demodulated diffuse, specular) radiance per pixel.
 
@@ -648,8 +656,36 @@ def env_shade(
     diffuse_only = bsdf in ("diffuse", "white")
 
     # Per-pixel Cranley-Patterson rotations decorrelate strata across pixels.
-    k_rot, k_loop = jax.random.split(key)
+    k_rot, k_pool, k_loop = jax.random.split(key, 3)
     rot = jax.random.uniform(k_rot, (p, 6))
+
+    # --- Stratified light-sample pool (ref ops.py:86-91 permutation pool) ---
+    # CDF inversion is gather-bound (~10 search rounds/pixel/step); but every
+    # pixel samples the SAME environment CDF.  The reference already shares a
+    # 32k-entry host-side jitter pool across all pixels; here the pool holds
+    # fully inverted samples — per stratum, `light_pool` independent draws of
+    # (direction, pdf, radiance) — built ONCE per step.  Each pixel-step then
+    # fetches one pool row (single 7-wide gather) instead of searching.
+    # Marginally each pixel still samples the exact light distribution, so
+    # the estimator stays unbiased; cross-pixel correlation matches the
+    # reference's pool-based stratification.
+    np_pool = int(light_pool)
+    sx_idx = jnp.arange(n2, dtype=jnp.float32) % n_samples_x
+    sy_idx = jnp.arange(n2, dtype=jnp.float32) // n_samples_x
+    ju = jax.random.uniform(k_pool, (n2, np_pool, 2))
+    lu_pool = (sx_idx[:, None] + ju[..., 0]) * strata
+    lv_pool = (sy_idx[:, None] + ju[..., 1]) * strata
+    pool_dirs, pool_pdf = sample_light(
+        light, lu_pool.reshape(-1), lv_pool.reshape(-1)
+    )
+    pool_col = eval_light(light, pool_dirs)
+    pool = jnp.concatenate([pool_dirs, pool_pdf, pool_col], axis=-1)  # (S,7)
+
+    # base radiance + selection pdf packed in one texel: the BSDF strategy's
+    # eval_light + light_pdf share the same (y, x) — one 4-wide gather.
+    light_packed = jnp.concatenate(
+        [light.base, light.pdf[..., None].astype(light.base.dtype)], axis=-1
+    )
 
     # ALL traced values travel through the custom-VJP accumulator's args —
     # the backward of an outer scan (lax.map over views) transposes the
@@ -668,7 +704,8 @@ def env_shade(
         "view_pos": view_pos,
         "kd": kd,
         "ks": ks,
-        "light": light,
+        "pool": pool,
+        "light_packed": light_packed,
         "rot": rot,
         "key_bits": _key_to_float(k_loop),
         "shadow_scale": jnp.asarray(shadow_scale, jnp.float32),
@@ -678,7 +715,6 @@ def env_shade(
     def step_contrib(a, s, aux):
         gb_normal = a["gb_normal"]
         kd, ks = a["kd"], a["ks"]
-        light = a["light"]
         rot = a["rot"]
         k_loop = _key_from_float(a["key_bits"])
         shadow_scale_t = a["shadow_scale"]
@@ -690,8 +726,7 @@ def env_shade(
             else _pixel_probabilities(kd, ks, wo, gb_normal)
         )
 
-        def eval_sample(ray_dir, pdf_sum, vis):
-            light_col = eval_light(light, ray_dir)
+        def eval_sample(ray_dir, pdf_sum, vis, light_col):
             mis = 1.0 / jnp.maximum(pdf_sum, 1e-4)
             if diffuse_only:
                 diff = lambert(gb_normal, ray_dir)
@@ -724,16 +759,19 @@ def env_shade(
         sx_i = s % n_samples_x
         sy_i = s // n_samples_x
 
-        # --- strategy 1: light importance sampling (ref :512-519)
-        lu = jnp.mod((sx_i + u[:, 0]) * strata + rot[:, 0], 1.0)
-        lv = jnp.mod((sy_i + u[:, 1]) * strata + rot[:, 1], 1.0)
-        ray_dir, pdf_l = sample_light(light, lu, lv)
+        # --- strategy 1: light importance sampling (ref :512-519) —
+        # one pool-row gather replaces the per-pixel CDF inversion
+        j = jnp.clip((u[:, 0] * np_pool).astype(jnp.int32), 0, np_pool - 1)
+        entry = a["pool"][s * np_pool + j]  # (P, 7)
+        ray_dir = entry[:, 0:3]
+        pdf_l = entry[:, 3:4]
+        light_col1 = entry[:, 4:7]
         if diffuse_only:
             pdf_b = _cosine_pdf(gb_normal, ray_dir)
         else:
             pdf_b = bsdf_pdf(p_diffuse, gb_normal, wo, ray_dir, alpha)
         vis1 = shadow(ray_dir, 0)
-        d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, vis1)
+        d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, vis1, light_col1)
 
         # --- strategy 2: BSDF sampling (ref :521-529)
         bu = jnp.mod((sx_i + u[:, 2]) * strata + rot[:, 2], 1.0)
@@ -742,9 +780,17 @@ def env_shade(
             p_diffuse, gb_normal, wo, bu, bv, u[:, 4], alpha,
             diffuse_only=diffuse_only,
         )
-        pdf_l2 = light_pdf(light, ray_dir2)
+        lp = a["light_packed"]
+        hh, ww = lp.shape[0], lp.shape[1]
+        uv2 = dir_to_latlong_uv(ray_dir2)
+        lx = jnp.clip((uv2[..., 0] * ww).astype(jnp.int32), 0, ww - 1)
+        ly = jnp.clip((uv2[..., 1] * hh).astype(jnp.int32), 0, hh - 1)
+        texel = lp[ly, lx]  # (P, 4): radiance + selection pdf
+        light_col2 = texel[:, 0:3]
+        sin_t = jnp.maximum(jnp.sin(uv2[..., 1:2] * math.pi), 1e-4)
+        pdf_l2 = texel[:, 3:4] * (hh * ww) / (2.0 * math.pi * math.pi * sin_t)
         vis2 = shadow(ray_dir2, 1)
-        d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, vis2)
+        d2, s2 = eval_sample(ray_dir2, pdf_l2 + pdf_b2, vis2, light_col2)
 
         contrib = jnp.concatenate([d1 + d2, s1 + s2], axis=-1)  # (P, 6)
         return contrib, jnp.concatenate([vis1, vis2], axis=-1)  # aux (P, 2)
