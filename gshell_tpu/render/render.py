@@ -45,6 +45,12 @@ from .material import MLPTexture3DConfig, MLPTexture3DParams, sample_mlp_texture
 class RenderFlags(NamedTuple):
     resolution: tuple = (512, 512)
     n_samples: int = 8
+    # Supersampling (ref render_mesh spp, render.py:333,361): rasterize +
+    # shade at resolution·spp, average-pool every image buffer back down.
+    # (The reference's msaa=True variant — shade at 1× after a nearest
+    # downsample — is never enabled by its training scripts, ref default
+    # msaa=False, FLAGS.spp=1.)
+    spp: int = 1
     bsdf: str = "pbr"
     denoiser_demodulate: bool = True
     use_denoiser: bool = True
@@ -78,6 +84,8 @@ def render_mesh(
     """Render one view.  Returns the reference's buffer dict
     (``render/render.py:169-191``) in NHWC-without-N layout (H, W, C)."""
     h, w = flags.resolution
+    spp = flags.spp
+    h, w = h * spp, w * spp
     bsdf = bsdf_override or flags.bsdf
 
     # ---- geometry pass ------------------------------------------------
@@ -199,6 +207,8 @@ def render_mesh(
     # ---- composite + antialias (ref render.py:352-359) ------------------
     if background is None:
         background = jnp.zeros((h, w, 3))
+    elif spp > 1 and background.shape[0] != h:
+        background = jnp.repeat(jnp.repeat(background, spp, axis=0), spp, axis=1)
     comp = background * (1.0 - mask) + shaded_col * mask
     comp_rgba = jnp.concatenate([comp, mask], axis=-1)
     shaded = antialias(comp_rgba, rast, v_clip, faces)
@@ -227,6 +237,16 @@ def render_mesh(
     # mSDF image for the open/close hinge losses (ref render.py:302-309)
     if msdf is not None:
         buffers["msdf_image"] = interpolate(msdf[:, None], rast, faces, v_clip=v_clip)
+
+    # spp down-filter (ref render.py:361 avg_pool_nhwc on the composite; we
+    # pool every image buffer so loss/regularizer consumers see base res)
+    if spp > 1:
+        from ..ops.math import avg_pool_nhwc
+
+        buffers = {
+            k: avg_pool_nhwc(v[None], spp)[0] if v.ndim == 3 else v
+            for k, v in buffers.items()
+        }
 
     # Visible-vertex mask (ref render.py:380-383 visible_triangles → used by
     # the mSDF close regularizer, gshell_tets_geometry.py:343-348)

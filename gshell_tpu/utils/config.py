@@ -98,6 +98,12 @@ def load_flags(config_path: Optional[str] = None, **overrides) -> Flags:
             setattr(flags, k, v)
     if flags.display_res is None:
         flags.display_res = tuple(flags.train_res)
+    if flags.spp < 1:
+        raise ValueError(f"config error: spp must be >= 1 (got {flags.spp})")
+    if flags.n_samples < 1:
+        raise ValueError(
+            f"config error: n_samples must be >= 1 (got {flags.n_samples})"
+        )
     return flags
 
 

@@ -29,13 +29,20 @@ GRID = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 NSAMP = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
 
+def _sync(out):
+    # On the tunneled axon platform block_until_ready returns before the
+    # device program finishes; transferring one element forces completion.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[:1])  # 1-element transfer, not the whole leaf
+
+
 def timeit(name, fn, *args, n=8):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     dt = (time.time() - t0) / n
     print(f"{name:32s} {dt*1000:9.2f} ms", flush=True)
     return out

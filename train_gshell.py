@@ -106,6 +106,7 @@ def main():
     rflags = RenderFlags(
         resolution=tuple(flags.train_res),
         n_samples=flags.n_samples,
+        spp=flags.spp,
         bsdf=flags.bsdf,
         use_denoiser=flags.denoiser == "bilateral",
         denoiser_demodulate=flags.denoiser_demodulate,
