@@ -119,7 +119,7 @@ def run_config(quick, res, grid, n_samples, batch):
     # Warmup (compile)
     t0 = time.time()
     state, m = rec.train_step(state, key, target)
-    jax.block_until_ready(m["total"])
+    float(m["total"])  # scalar transfer: block_until_ready returns early on axon
     compile_time = time.time() - t0
 
     n_iters = 5 if quick else 20
@@ -127,7 +127,7 @@ def run_config(quick, res, grid, n_samples, batch):
     for i in range(n_iters):
         key, k = jax.random.split(key)
         state, m = rec.train_step(state, k, target)
-    jax.block_until_ready(m["total"])
+    float(m["total"])  # scalar transfer: block_until_ready returns early on axon
     dt = time.time() - t0
     ips = n_iters / dt
 

@@ -139,15 +139,14 @@ class GenerativeCodec:
         return occ, omask
 
     def _edge_of_vert_slot(self, sdf):
-        """Template-vertex slot → source grid edge id (same compaction order
-        as the extractor)."""
+        """Template-vertex slot → source grid edge id (same hierarchical
+        compaction order as the extractor — see GShellTets.compact_edges)."""
         ex = self.ex
-        sdf_p = jnp.concatenate([sdf, jnp.ones((1,))])
-        occ_p = sdf_p > 0
-        e_occ = occ_p[ex.edges_pad[:-1]]
-        crossing = e_occ[:, 0] != e_occ[:, 1]
-        (edge_slots,) = jnp.nonzero(crossing, size=ex.max_verts, fill_value=ex.n_grid_edges)
-        return jnp.clip(edge_slots, 0, ex.n_grid_edges - 1)
+        r1 = ex.grid.res + 1
+        occ_vol = (sdf > 0).reshape(r1, r1, r1)
+        cube_act, _, _ = ex.active_cubes(occ_vol)
+        _, _, _, lo_xyz, cls, _ = ex.compact_edges(occ_vol.reshape(-1), cube_act)
+        return jnp.clip(ex.edge_ids_from(lo_xyz, cls), 0, ex.n_grid_edges - 1)
 
     # ------------------------------------------------------------------
     def decode(self, pos: jax.Array, baked: BakedGrids) -> GShellMesh:
@@ -176,39 +175,34 @@ def _cycle_cut_info(ex: GShellTets, pos, sdf, msdf):
     """Reproduce the extractor's per-tet cycle pairs + cut weights.
 
     Returns (pairs (MT,4,2) template-vertex ids, w_u (MT,4), valid (MT,4))."""
-    N, E, T = ex.n_grid_verts, ex.n_grid_edges, ex.n_grid_tets
-    V, MT = ex.max_verts, ex.max_tets
+    N = ex.n_grid_verts
     sdf_p = jnp.concatenate([sdf, jnp.ones((1,))])
     msdf_p = jnp.concatenate([msdf, -jnp.ones((1,))])
-    occ_p = sdf_p > 0
 
-    occ4 = occ_p[ex.tets_pad[:-1]]
-    occ_sum = occ4.sum(-1)
-    valid_t = (occ_sum > 0) & (occ_sum < 4)
-    (tet_slots,) = jnp.nonzero(valid_t, size=MT, fill_value=T)
-    tet_valid = tet_slots < T
+    r1 = ex.grid.res + 1
+    occ_vol = (sdf > 0).reshape(r1, r1, r1)
+    occ_flat = occ_vol.reshape(-1)
+    cube_act, cube_xyz, cube_ok = ex.active_cubes(occ_vol)
+    tet_valid, corner_xyz, corner_vid, _ = ex.compact_tets(
+        occ_flat, cube_xyz, cube_ok
+    )
+    slot_valid, ev0, ev1, _, _, vert_slot_of_edges = ex.compact_edges(
+        occ_flat, cube_act
+    )
 
-    e_occ = occ_p[ex.edges_pad[:-1]]
-    crossing = e_occ[:, 0] != e_occ[:, 1]
-    (edge_slots,) = jnp.nonzero(crossing, size=V, fill_value=E)
-    slot_valid = edge_slots < E
-    vert_of_edge = jnp.full((E + 1,), V, jnp.int32)
-    vert_of_edge = vert_of_edge.at[edge_slots].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
-    vert_of_edge = vert_of_edge.at[E].set(V)
-
-    ev = ex.edges_pad[edge_slots]
-    sa, sb = sdf_p[ev[:, 0]], sdf_p[ev[:, 1]]
+    sa, sb = sdf_p[ev0], sdf_p[ev1]
     d = sa - sb
     d = jnp.where(jnp.abs(d) > 1e-8, d, 1.0)
     wa = -sb / d
     wb = sa / d
-    ma, mb = msdf_p[ev[:, 0]], msdf_p[ev[:, 1]]
+    ma, mb = msdf_p[ev0], msdf_p[ev1]
     msdf_vert = jnp.where(slot_valid, ma * wa + mb * wb, 0.0)
     msdf_buf = jnp.concatenate([msdf_vert, jnp.zeros((1,))])
 
-    g_occ4 = occ_p[ex.tets_pad[tet_slots]].astype(jnp.int32)
+    g_occ4 = occ_flat[corner_vid].astype(jnp.int32)
     tetindex = (g_occ4 * jnp.asarray([1, 2, 4, 8], jnp.int32)).sum(-1)
-    idx6 = vert_of_edge[ex.tet_edges_pad[tet_slots]]
+    tetindex = jnp.where(tet_valid, tetindex, 15)
+    idx6 = vert_slot_of_edges(*ex.tet_edge_lo_cls(corner_xyz), tet_valid[:, None])
     me = jnp.clip(ex.mesh_edge_table[tetindex], 0, 5)
     corners = jnp.take_along_axis(idx6, me[:, :4], axis=1)
     nxt = jnp.roll(jnp.arange(4), -1)
@@ -227,45 +221,43 @@ def _marching_from_grids(ex: GShellTets, pos, sdf_sign, coeff_of_edge_slotless,
                          msdf_mid_sign, occgrid, edge_mid_coords) -> GShellMesh:
     """Static-shape twin of ``marching_from_auggrid`` — the extraction driven
     by quantized grid data instead of continuous fields."""
-    N, E, T = ex.n_grid_verts, ex.n_grid_edges, ex.n_grid_tets
+    N = ex.n_grid_verts
     V, MT = ex.max_verts, ex.max_tets
 
     sdf = sdf_sign  # signs suffice for occupancy
     pos_p = jnp.concatenate([pos, jnp.zeros((1, 3))])
-    sdf_p = jnp.concatenate([sdf, jnp.ones((1,))])
-    occ_p = sdf_p > 0
 
-    occ4 = occ_p[ex.tets_pad[:-1]]
-    occ_sum = occ4.sum(-1)
-    valid_t = (occ_sum > 0) & (occ_sum < 4)
-    (tet_slots,) = jnp.nonzero(valid_t, size=MT, fill_value=T)
-    tet_valid = tet_slots < T
+    r1 = ex.grid.res + 1
+    occ_vol = (sdf > 0).reshape(r1, r1, r1)
+    occ_flat = occ_vol.reshape(-1)
+    cube_act, cube_xyz, cube_ok = ex.active_cubes(occ_vol)
+    tet_valid, corner_xyz, corner_vid, _ = ex.compact_tets(
+        occ_flat, cube_xyz, cube_ok
+    )
+    slot_valid, ev0, ev1, lo_xyz, cls, vert_slot_of_edges = ex.compact_edges(
+        occ_flat, cube_act
+    )
 
-    e_occ = occ_p[ex.edges_pad[:-1]]
-    crossing = e_occ[:, 0] != e_occ[:, 1]
-    (edge_slots,) = jnp.nonzero(crossing, size=V, fill_value=E)
-    slot_valid = edge_slots < E
-    vert_of_edge = jnp.full((E + 1,), V, jnp.int32)
-    vert_of_edge = vert_of_edge.at[edge_slots].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
-    vert_of_edge = vert_of_edge.at[E].set(V)
-
-    e_clip = jnp.clip(edge_slots, 0, E - 1)
-    ev = ex.edges_pad[edge_slots]
+    E = ex.n_grid_edges
+    e_clip = jnp.clip(ex.edge_ids_from(lo_xyz, cls), 0, E - 1)
     c = coeff_of_edge_slotless[e_clip]  # (V,) interp coefficient from grid
-    verts = pos_p[ev[:, 0]] * (1.0 - c[:, None]) + pos_p[ev[:, 1]] * c[:, None]
+    verts = pos_p[ev0] * (1.0 - c[:, None]) + pos_p[ev1] * c[:, None]
     verts = jnp.where(slot_valid[:, None], verts, 0.0)
     msdf_vert = jnp.where(slot_valid, msdf_mid_sign[e_clip], 0.0)
 
     verts_buf = jnp.concatenate([verts, jnp.zeros((1, 3))])
     msdf_buf = jnp.concatenate([msdf_vert, jnp.zeros((1,))])
-    mid_pad = jnp.concatenate(
-        [edge_mid_coords[e_clip], jnp.zeros((1, 3), jnp.int32)]
-    )  # (V+1, 3) midpoint coords per template vertex slot
+    # midpoint site coords per template vertex slot: 2·lo + offset
+    from .tet_grid import EDGE_OFFSETS as _EO
 
-    g_occ4 = occ_p[ex.tets_pad[tet_slots]].astype(jnp.int32)
+    mid = 2 * lo_xyz + jnp.asarray(_EO, jnp.int32)[cls]
+    mid_pad = jnp.concatenate([mid, jnp.zeros((1, 3), jnp.int32)])
+
+    g_occ4 = occ_flat[corner_vid].astype(jnp.int32)
     tetindex = (g_occ4 * jnp.asarray([1, 2, 4, 8], jnp.int32)).sum(-1)
+    tetindex = jnp.where(tet_valid, tetindex, 15)
     num_tri = ex.num_tri_table[tetindex]
-    idx6 = vert_of_edge[ex.tet_edges_pad[tet_slots]]
+    idx6 = vert_slot_of_edges(*ex.tet_edge_lo_cls(corner_xyz), tet_valid[:, None])
 
     trow = jnp.clip(ex.triangle_table[tetindex], 0, 5)
     f01 = jnp.take_along_axis(idx6, trow, axis=1)
@@ -334,6 +326,6 @@ def _marching_from_grids(ex: GShellTets, pos, sdf_sign, coeff_of_edge_slotless,
         faces_wt=faces_wt,
         face_wt_valid=face_wt_valid,
         n_verts_watertight=V + 1,
-        n_valid_tets=valid_t.sum().astype(jnp.int32),
-        n_crossing_edges=crossing.sum().astype(jnp.int32),
+        n_valid_tets=tet_valid.sum().astype(jnp.int32),
+        n_crossing_edges=slot_valid.sum().astype(jnp.int32),
     )

@@ -67,7 +67,13 @@ class GShellGeometry:
 
     def __init__(self, cfg: GeometryConfig, grid: TetGrid | None = None):
         self.cfg = cfg
-        self.grid = grid if grid is not None else build_tet_grid(cfg.grid_res)
+        if grid is None:
+            # Topology tables only serve the generative bake/decode tooling
+            # (res ≤ 128 grids); the extractor indexes the lattice
+            # analytically and the SDF regularizer runs on volume slices —
+            # above 128 the tables alone would cost ~4 GB.
+            grid = build_tet_grid(cfg.grid_res, build_topology=cfg.grid_res <= 128)
+        self.grid = grid
         self.extractor = GShellTets(self.grid, cfg.max_tets, cfg.max_verts)
         boxscale = np.asarray(cfg.boxscale, np.float32)
         base = self.grid.verts - self.grid.verts.mean(axis=0)
@@ -75,7 +81,6 @@ class GShellGeometry:
         self.boxscale = jnp.asarray(boxscale)
         # ref gshell_tets_geometry.py:155
         self.max_displacement = 1.0 / cfg.grid_res * cfg.scale / 2.1
-        self.grid_edges = jnp.asarray(self.grid.edges.astype(np.int32))
 
     # ---------------- parameters ----------------
     def init_params(self, key: jax.Array) -> dict:
@@ -304,7 +309,8 @@ class GShellGeometry:
         sdf_weight = cfg.sdf_regularizer - (cfg.sdf_regularizer - 0.01) * jnp.minimum(
             1.0, 4.0 * t_iter
         )
-        sdf_reg = reg.sdf_reg_loss(sdf, self.grid_edges) * sdf_weight
+        r1 = cfg.grid_res + 1
+        sdf_reg = reg.sdf_reg_loss_lattice(sdf.reshape(r1, r1, r1)) * sdf_weight
 
         # Shading regularizers (ref :364-376)
         shading_reg = 0.0

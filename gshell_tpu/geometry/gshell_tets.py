@@ -168,17 +168,26 @@ class GShellTets:
         self.n_grid_verts = n
         self.n_grid_tets = t
         self.n_grid_edges = e
+        # Active-cube budget: every active cube yields ≥1 valid tet, so MT
+        # valid tets can span at most MT cubes; in practice a crossing cube
+        # yields ~2-3, so MT/2 cubes saturate the tet budget first.
+        self.max_cubes = max(self.max_tets // 2, 1)
+        # Dilated active-vertex budget (crossing-edge lower corners): the
+        # 3³-dilated vertex set of MC cubes is ≈ MC·(1+2/shell-thickness).
+        self.max_lat_verts = min(3 * self.max_cubes, grid.n_verts)
 
-        # Padded static topology (sentinel rows appended).
-        self.tets_pad = jnp.asarray(
-            np.concatenate([grid.tets, np.full((1, 4), n, np.int32)], axis=0)
-        )
-        self.tet_edges_pad = jnp.asarray(
-            np.concatenate([grid.tet_edges, np.full((1, 6), e, np.int32)], axis=0)
-        )
-        self.edges_pad = jnp.asarray(
-            np.concatenate([grid.edges, np.full((1, 2), n, np.int32)], axis=0)
-        )
+        # Analytic incidence constants (the lattice topology is closed-form;
+        # no O(T)/O(E) tables — 4 GB at res 256 in the materialized form).
+        from .tet_grid import _edge_class_bases
+
+        self._edge_bases = jnp.asarray(_edge_class_bases(grid.res), jnp.int32)
+        self._edge_offsets = jnp.asarray(EDGE_OFFSETS, jnp.int32)  # (7, 3)
+        self._tet_corners = jnp.asarray(_TET_CORNERS, jnp.int32)  # (6, 4, 3)
+        # |Δ| bit-key (4x+2y+z) → edge class
+        key_to_cls = np.full(8, -1, np.int64)
+        for i, o in enumerate(EDGE_OFFSETS):
+            key_to_cls[o[0] * 4 + o[1] * 2 + o[2]] = i
+        self._key_to_cls = jnp.asarray(key_to_cls, jnp.int32)
 
         # Tables.
         self.triangle_table = jnp.asarray(tt.TRIANGLE_TABLE)
@@ -188,6 +197,241 @@ class GShellTets:
         self.num_tri_table = jnp.asarray(tt.NUM_TRIANGLES_TABLE)
         self.num_tri_tri = jnp.asarray(tt.NUM_TRIANGLES_TRI_TABLE)
         self.num_tri_quad = jnp.asarray(tt.NUM_TRIANGLES_QUAD_TABLE)
+
+    # Materialized padded topology — only the generative bake/decode tooling
+    # reads these (res ≤ 128 grids); built lazily, requires grid topology.
+    @property
+    def tets_pad(self):
+        if not hasattr(self, "_tets_pad"):
+            assert self.grid.tets is not None, (
+                "grid built with build_topology=False; the generative "
+                "bake/decode path needs build_tet_grid(res, build_topology=True)"
+            )
+            self._tets_pad = jnp.asarray(
+                np.concatenate(
+                    [self.grid.tets, np.full((1, 4), self.n_grid_verts, np.int32)],
+                    axis=0,
+                )
+            )
+        return self._tets_pad
+
+    @property
+    def tet_edges_pad(self):
+        if not hasattr(self, "_tet_edges_pad"):
+            assert self.grid.tet_edges is not None, (
+                "grid built with build_topology=False (see tets_pad)"
+            )
+            self._tet_edges_pad = jnp.asarray(
+                np.concatenate(
+                    [self.grid.tet_edges, np.full((1, 6), self.n_grid_edges, np.int32)],
+                    axis=0,
+                )
+            )
+        return self._tet_edges_pad
+
+    @property
+    def edges_pad(self):
+        if not hasattr(self, "_edges_pad"):
+            assert self.grid.edges is not None, (
+                "grid built with build_topology=False (see tets_pad)"
+            )
+            self._edges_pad = jnp.asarray(
+                np.concatenate(
+                    [self.grid.edges, np.full((1, 2), self.n_grid_verts, np.int32)],
+                    axis=0,
+                )
+            )
+        return self._edges_pad
+
+    # ---- analytic incidence helpers (closed-form lattice topology) -------
+    def _edge_endpoints(self, edge_ids: jax.Array):
+        """Edge id → (lo_vertex_id, hi_vertex_id); sentinel id E → (N, N)."""
+        n = self.grid.res + 1
+        E, N = self.n_grid_edges, self.n_grid_verts
+        sentinel = edge_ids >= E
+        eid = jnp.where(sentinel, 0, edge_ids)
+        cls = jnp.searchsorted(self._edge_bases, eid, side="right").astype(jnp.int32) - 1
+        o = self._edge_offsets[cls]  # (..., 3)
+        local = eid - self._edge_bases[cls]
+        dims1 = n - o[..., 1]
+        dims2 = n - o[..., 2]
+        lo2 = local % dims2
+        rest = local // dims2
+        lo1 = rest % dims1
+        lo0 = rest // dims1
+        v_lo = (lo0 * n + lo1) * n + lo2
+        v_hi = ((lo0 + o[..., 0]) * n + (lo1 + o[..., 1])) * n + (lo2 + o[..., 2])
+        return (
+            jnp.where(sentinel, N, v_lo).astype(jnp.int32),
+            jnp.where(sentinel, N, v_hi).astype(jnp.int32),
+        )
+
+    def _tet_edge_ids(self, corner_xyz: jax.Array, valid: jax.Array):
+        """(..., 4, 3) tet corner lattice coords → (..., 6) edge ids
+        ([01,02,03,12,13,23] order); invalid rows → sentinel E."""
+        n = self.grid.res + 1
+        pairs_a = jnp.asarray([0, 0, 0, 1, 1, 2], jnp.int32)
+        pairs_b = jnp.asarray([1, 2, 3, 2, 3, 3], jnp.int32)
+        pa = corner_xyz[..., pairs_a, :]  # (..., 6, 3)
+        pb = corner_xyz[..., pairs_b, :]
+        lo = jnp.minimum(pa, pb)
+        off = jnp.abs(pb - pa)
+        key = off[..., 0] * 4 + off[..., 1] * 2 + off[..., 2]
+        cls = self._key_to_cls[key]
+        o = self._edge_offsets[cls]
+        dims1 = n - o[..., 1]
+        dims2 = n - o[..., 2]
+        local = (lo[..., 0] * dims1 + lo[..., 1]) * dims2 + lo[..., 2]
+        eid = self._edge_bases[cls] + local
+        return jnp.where(valid[..., None], eid, self.n_grid_edges).astype(jnp.int32)
+
+    def tet_edge_lo_cls(self, corner_xyz: jax.Array):
+        """Tet corner coords (..., 4, 3) → per-edge (lower corner (..., 6, 3),
+        class (..., 6)) in the [01,02,03,12,13,23] order."""
+        pairs_a = jnp.asarray([0, 0, 0, 1, 1, 2], jnp.int32)
+        pairs_b = jnp.asarray([1, 2, 3, 2, 3, 3], jnp.int32)
+        te_pa = corner_xyz[..., pairs_a, :]
+        te_pb = corner_xyz[..., pairs_b, :]
+        te_lo = jnp.minimum(te_pa, te_pb)
+        te_off = jnp.abs(te_pb - te_pa)
+        te_cls = self._key_to_cls[
+            te_off[..., 0] * 4 + te_off[..., 1] * 2 + te_off[..., 2]
+        ]
+        return te_lo, te_cls
+
+    def edge_ids_from(self, lo_xyz: jax.Array, cls: jax.Array) -> jax.Array:
+        """(lower-corner lattice coords, class) → global edge id."""
+        n = self.grid.res + 1
+        o = self._edge_offsets[cls]
+        dims1 = n - o[..., 1]
+        dims2 = n - o[..., 2]
+        local = (lo_xyz[..., 0] * dims1 + lo_xyz[..., 1]) * dims2 + lo_xyz[..., 2]
+        return self._edge_bases[cls] + local
+
+    # ---- shared hierarchical compaction (used by __call__ AND the
+    # generative decode, so training and decode slot layouts match exactly)
+    def active_cubes(self, occ_vol: jax.Array, msdf_vol: jax.Array | None = None):
+        """Cube-level activity + compacted cube coords.
+
+        A cube is active ⟺ its 8 corners mix signs (⟺ ≥1 of its 6 path
+        tets crosses: the tets' corner sets cover the cube and share the
+        main diagonal).  Pure shifted-slice sums — O(res³) elementwise."""
+        res = self.grid.res
+
+        def corner_sum(vol_i):
+            return sum(
+                vol_i[dx : dx + res, dy : dy + res, dz : dz + res]
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            )
+
+        csum = corner_sum(occ_vol.astype(jnp.int32))
+        cube_act = (csum > 0) & (csum < 8)
+        if msdf_vol is not None:
+            cube_act = cube_act & (corner_sum(msdf_vol.astype(jnp.int32)) > 0)
+        MC = self.max_cubes
+        n_cubes = res**3
+        (cube_slots,) = jnp.nonzero(cube_act.reshape(-1), size=MC, fill_value=n_cubes)
+        cube_ok = cube_slots < n_cubes
+        cs = jnp.where(cube_ok, cube_slots, 0)
+        cube_xyz = jnp.stack(
+            [cs // (res * res), (cs // res) % res, cs % res], axis=-1
+        ).astype(jnp.int32)
+        return cube_act, cube_xyz, cube_ok
+
+    def compact_tets(self, occ_flat, cube_xyz, cube_ok, msdf_flat=None):
+        """Candidate tets of active cubes → MT compacted tet slots
+        (cube-major, path-minor == ascending global tet id).
+
+        Returns (tet_valid (MT,), corner_xyz (MT,4,3), corner_vid (MT,4),
+        n_valid)."""
+        res = self.grid.res
+        n_lat = res + 1
+        MC, MT = self.max_cubes, self.max_tets
+        cand_xyz = cube_xyz[:, None, None, :] + self._tet_corners[None]  # (MC,6,4,3)
+        cand_vid = (
+            (cand_xyz[..., 0] * n_lat + cand_xyz[..., 1]) * n_lat + cand_xyz[..., 2]
+        )
+        cand_occ = occ_flat[cand_vid]  # (MC, 6, 4) bool
+        cand_sum = cand_occ.sum(axis=-1)
+        valid_cand = (cand_sum > 0) & (cand_sum < 4) & cube_ok[:, None]
+        if msdf_flat is not None:
+            valid_cand = valid_cand & msdf_flat[cand_vid].any(axis=-1)
+        n_valid = valid_cand.sum().astype(jnp.int32)
+
+        (cand_idx,) = jnp.nonzero(valid_cand.reshape(-1), size=MT, fill_value=6 * MC)
+        tet_valid = cand_idx < 6 * MC
+        ci = jnp.where(tet_valid, cand_idx, 0)
+        corner_xyz = cube_xyz[ci // 6][:, None, :] + self._tet_corners[ci % 6]
+        corner_vid = (
+            (corner_xyz[..., 0] * n_lat + corner_xyz[..., 1]) * n_lat
+            + corner_xyz[..., 2]
+        )
+        return tet_valid, corner_xyz, corner_vid, n_valid
+
+    def compact_edges(self, occ_flat, cube_act):
+        """Crossing edges of the dilated active-cube vertex set → V template
+        vertex slots (active-vertex-major, class-minor order).
+
+        Returns (slot_valid (V,), ev0, ev1 (V,) endpoint vertex ids,
+        lo_xyz (V,3), cls (V,), vert_slot_of_edges fn)."""
+        res = self.grid.res
+        n_lat = res + 1
+        N, V = self.n_grid_verts, self.max_verts
+        MVL = self.max_lat_verts
+
+        act_pad = jnp.pad(cube_act, ((1, 1), (1, 1), (1, 1)))
+        vert_act = jnp.zeros((n_lat, n_lat, n_lat), jnp.bool_)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    vert_act = vert_act | act_pad[
+                        dx : dx + n_lat, dy : dy + n_lat, dz : dz + n_lat
+                    ]
+        (lv_slots,) = jnp.nonzero(vert_act.reshape(-1), size=MVL, fill_value=N)
+        lv_ok = lv_slots < N
+        lv = jnp.where(lv_ok, lv_slots, 0)
+        lv_xyz = jnp.stack(
+            [lv // (n_lat * n_lat), (lv // n_lat) % n_lat, lv % n_lat], axis=-1
+        ).astype(jnp.int32)
+        slot_of_lv = jnp.full((N + 1,), MVL, jnp.int32)
+        slot_of_lv = slot_of_lv.at[jnp.where(lv_ok, lv_slots, N + 1)].set(
+            jnp.arange(MVL, dtype=jnp.int32), mode="drop"
+        )
+
+        off = self._edge_offsets  # (7, 3)
+        hi_xyz = lv_xyz[:, None, :] + off[None]  # (MVL, 7, 3)
+        in_range = (hi_xyz < n_lat).all(axis=-1) & lv_ok[:, None]
+        lo_vid = (lv_xyz[..., 0] * n_lat + lv_xyz[..., 1]) * n_lat + lv_xyz[..., 2]
+        hi_vid = jnp.where(
+            in_range,
+            (hi_xyz[..., 0] * n_lat + hi_xyz[..., 1]) * n_lat + hi_xyz[..., 2],
+            0,
+        )
+        e_cross = in_range & (occ_flat[lo_vid[:, None]] != occ_flat[hi_vid])
+        (ce_idx,) = jnp.nonzero(e_cross.reshape(-1), size=V, fill_value=7 * MVL)
+        slot_valid = ce_idx < 7 * MVL
+        cei = jnp.where(slot_valid, ce_idx, 0)
+        ev0 = jnp.where(slot_valid, lo_vid[cei // 7], N)
+        ev1 = jnp.where(slot_valid, hi_vid.reshape(-1)[cei], N)
+        lo_xyz = lv_xyz[cei // 7]
+        cls = (cei % 7).astype(jnp.int32)
+
+        vert_of_cand = jnp.full((7 * MVL + 1,), V, jnp.int32)
+        vert_of_cand = vert_of_cand.at[
+            jnp.where(slot_valid, ce_idx, 7 * MVL + 1)
+        ].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
+
+        def vert_slot_of_edges(e_lo_xyz, e_cls, valid):
+            vid = (
+                e_lo_xyz[..., 0] * n_lat + e_lo_xyz[..., 1]
+            ) * n_lat + e_lo_xyz[..., 2]
+            lvs = slot_of_lv[jnp.where(valid, vid, N)]
+            cand = jnp.where(lvs < MVL, lvs * 7 + e_cls, 7 * MVL)
+            return vert_of_cand[cand]
+
+        return slot_valid, ev0, ev1, lo_xyz, cls, vert_slot_of_edges
 
     # ------------------------------------------------------------------
     def __call__(
@@ -219,47 +463,49 @@ class GShellTets:
         occ_p = sdf_p > 0
 
         # ---- valid tets (ref :249-263) --------------------------------
-        # Occupancy tests via shifted slices of the lattice volume — the
-        # analytic tet/edge numbering makes these exact, gather-free
-        # replacements for the reference's index_select storms.
+        # Two-stage active-region compaction, all O(res³) work at CUBE
+        # granularity (8× fewer elements than tets):
+        #   1. cube is active ⟺ its 8 corners mix signs (⟺ ≥1 of its 6
+        #      tets crosses — corner sets of the 6 path tets cover the cube
+        #      and share the main diagonal) — pure shifted-slice sums;
+        #   2. exact per-tet test only on the ≤ MC·6 candidate tets of
+        #      compacted active cubes, via corner gathers with analytic
+        #      lattice indexing (no materialized (T,4)/(T,6) tables —
+        #      those are 4 GB at res 256).
         res = self.grid.res
         n_lat = res + 1
         occ_vol = (sdf > 0).reshape(n_lat, n_lat, n_lat)
-        occ4 = _volume_occ4(occ_vol, res)  # (T, 4)
-        occ_sum = occ4.sum(axis=-1)
-        valid = (occ_sum > 0) & (occ_sum < 4)
-        if not watertight_template:
-            msdf_vol = (msdf > 0).reshape(n_lat, n_lat, n_lat)
-            msdf4 = _volume_occ4(msdf_vol, res)
-            valid = valid & (msdf4.sum(axis=-1) > 0)
-        n_valid = valid.sum().astype(jnp.int32)
-        (tet_slots,) = jnp.nonzero(valid, size=MT, fill_value=T)
-        tet_valid = tet_slots < T
+        occ_flat = occ_vol.reshape(-1)
+        msdf_vol = (
+            None if watertight_template else (msdf > 0).reshape(n_lat, n_lat, n_lat)
+        )
+        cube_act, cube_xyz, cube_ok = self.active_cubes(occ_vol, msdf_vol)
+        tet_valid, corner_xyz, corner_vid, n_valid = self.compact_tets(
+            occ_flat, cube_xyz, cube_ok,
+            None if msdf_vol is None else msdf_vol.reshape(-1),
+        )
 
         # ---- crossing edges → template vertices (ref :266-290) --------
+        # Crossing edges are compacted hierarchically too: a crossing edge's
+        # lower corner is adjacent to an active cube, so compact the DILATED
+        # active-cube vertex set (O(n³) work) and enumerate its ≤7 edge
+        # classes — never an O(E)=O(7n³) cumsum or an (E,)-sized slot map.
         e_lo, e_hi = _volume_edge_vals(occ_vol, res)
-        crossing = e_lo != e_hi
-        n_cross = crossing.sum().astype(jnp.int32)
-        (edge_slots,) = jnp.nonzero(crossing, size=V, fill_value=E)
-        slot_valid = edge_slots < E
+        n_cross = (e_lo != e_hi).sum().astype(jnp.int32)  # exact (cheap reduce)
 
-        # edge id → template vertex slot (sentinel rows → V)
-        vert_of_edge = jnp.full((E + 1,), V, jnp.int32)
-        vert_of_edge = vert_of_edge.at[edge_slots].set(
-            jnp.arange(V, dtype=jnp.int32), mode="drop"
+        slot_valid, ev0, ev1, _, _, vert_slot_of_edges = self.compact_edges(
+            occ_flat, cube_act
         )
-        vert_of_edge = vert_of_edge.at[E].set(V)
 
-        ev = self.edges_pad[edge_slots]  # (V, 2) endpoint grid-vertex ids
-        pa, pb = pos_p[ev[:, 0]], pos_p[ev[:, 1]]
-        sa, sb = sdf_p[ev[:, 0]], sdf_p[ev[:, 1]]
+        pa, pb = pos_p[ev0], pos_p[ev1]
+        sa, sb = sdf_p[ev0], sdf_p[ev1]
         denom_inv = _safe_inv_denominator(sa - sb, slot_valid)
         wa = -sb * denom_inv
         wb = sa * denom_inv
         verts = pa * wa[:, None] + pb * wb[:, None]
         verts = jnp.where(slot_valid[:, None], verts, 0.0)
 
-        ma, mb = msdf_p[ev[:, 0]], msdf_p[ev[:, 1]]
+        ma, mb = msdf_p[ev0], msdf_p[ev1]
         msdf_vert = ma * wa + mb * wb
         wa_sg, wb_sg = jax.lax.stop_gradient(wa), jax.lax.stop_gradient(wb)
         msdf_vert_sg = ma * wa_sg + mb * wb_sg  # stop-vgrad twin (ref :290)
@@ -272,14 +518,14 @@ class GShellTets:
         msdf_sg_buf = jnp.concatenate([msdf_vert_sg, jnp.zeros((1,), msdf_vert_sg.dtype)])
 
         # ---- per-tet template faces (ref :294-316) ---------------------
-        occ4_pad = jnp.concatenate(
-            [occ4, jnp.ones((1, 4), occ4.dtype)], axis=0
-        )  # sentinel row → tetindex 15 → 0 triangles
-        g_occ4 = occ4_pad[tet_slots].astype(jnp.int32)
+        g_occ4 = occ_flat[corner_vid].astype(jnp.int32)  # (MT, 4)
         tetindex = (g_occ4 * jnp.asarray([1, 2, 4, 8], jnp.int32)).sum(axis=-1)
+        tetindex = jnp.where(tet_valid, tetindex, 15)  # sentinel → 0 triangles
         num_tri = self.num_tri_table[tetindex]  # (MT,) ∈ {0,1,2}
 
-        idx6 = vert_of_edge[self.tet_edges_pad[tet_slots]]  # (MT, 6) ∈ [0, V]
+        # tet edge (lower corner, class) → template vertex slot
+        te_lo, te_cls = self.tet_edge_lo_cls(corner_xyz)
+        idx6 = vert_slot_of_edges(te_lo, te_cls, tet_valid[:, None])  # (MT, 6)
 
         trow = self.triangle_table[tetindex]  # (MT, 6)
         trow_c = jnp.clip(trow, 0, 5)

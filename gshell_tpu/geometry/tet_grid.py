@@ -49,13 +49,19 @@ _PATHS = list(itertools.permutations([0, 1, 2]))
 
 @dataclasses.dataclass(frozen=True)
 class TetGrid:
-    """Static topology of a Freudenthal tet lattice over ``[-0.5, 0.5]³``."""
+    """Static topology of a Freudenthal tet lattice over ``[-0.5, 0.5]³``.
+
+    ``tets`` / ``tet_edges`` / ``edges`` may be ``None``
+    (``build_tet_grid(..., build_topology=False)``): the lattice topology is
+    fully analytic, and the extractor (``gshell_tets.py``) computes incidence
+    closed-form — materializing the tables costs O(res³) memory (4 GB at
+    res 256) and is only needed by the generative bake/decode tooling."""
 
     res: int
     verts: np.ndarray  # (N, 3) float32, lattice positions in [-0.5, 0.5]^3
-    tets: np.ndarray  # (T, 4) int32
-    tet_edges: np.ndarray  # (T, 6) int32 — edge ids, order [01,02,03,12,13,23]
-    edges: np.ndarray  # (E, 2) int32 — unique edges, low index first
+    tets: np.ndarray | None  # (T, 4) int32
+    tet_edges: np.ndarray | None  # (T, 6) int32 — edge ids [01,02,03,12,13,23]
+    edges: np.ndarray | None  # (E, 2) int32 — unique edges, low index first
 
     @property
     def n_verts(self) -> int:
@@ -63,11 +69,11 @@ class TetGrid:
 
     @property
     def n_tets(self) -> int:
-        return self.tets.shape[0]
+        return 6 * self.res**3
 
     @property
     def n_edges(self) -> int:
-        return self.edges.shape[0]
+        return int(_edge_class_bases(self.res)[-1])
 
 
 def _vertex_ids(res: int) -> np.ndarray:
@@ -92,11 +98,24 @@ def _edge_id(res: int, lo_xyz: np.ndarray, cls: np.ndarray, bases: np.ndarray) -
     return bases[cls] + local
 
 
-def build_tet_grid(res: int, dtype=np.float32, use_native: bool = True) -> TetGrid:
+def build_tet_grid(
+    res: int, dtype=np.float32, use_native: bool = True, build_topology: bool = True
+) -> TetGrid:
     """Build the lattice, its 6-tets-per-cube decomposition, and the analytic
     edge incidence.  Run once at startup.  Uses the native C++/OpenMP builder
     (``native/gridgen.cpp`` via ``utils.native``) when available — identical
-    outputs, much faster at res ≥ 128 — with this numpy path as the twin."""
+    outputs, much faster at res ≥ 128 — with this numpy path as the twin.
+
+    ``build_topology=False`` skips the O(res³) tets/tet_edges/edges tables
+    (the training extractor indexes the lattice analytically and never reads
+    them; required above res ≈ 192 where the tables alone exceed host RAM
+    budgets)."""
+    if not build_topology:
+        n = res + 1
+        axis = np.linspace(-0.5, 0.5, n, dtype=dtype)
+        gx, gy, gz = np.meshgrid(axis, axis, axis, indexing="ij")
+        verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        return TetGrid(res=res, verts=verts, tets=None, tet_edges=None, edges=None)
     if use_native:
         try:
             from ..utils.native import build_tet_grid_native

@@ -321,7 +321,10 @@ def rasterize_tiled(
     n_tiles = ty_n * tx_n
     f = faces.shape[0]
     if max_pairs is None:
-        max_pairs = 4 * f
+        # f·n_tiles is the exact worst case (every triangle covers every
+        # tile) and is affordable for small meshes; for large face counts
+        # fall back to 4 pairs/triangle (tiny screen-space triangles).
+        max_pairs = min(f * n_tiles, max(4 * f, 4096))
 
     sx, sy, z, inv_w, tri_ok = _tri_screen(v_clip, faces, h, w)
     a, b, c, area2 = _edge_coeffs(sx, sy)

@@ -134,3 +134,28 @@ def sdf_reg_loss(sdf, grid_edges):
     )
     denom = jnp.maximum(mask.sum(), 1.0)
     return (per_edge * mask).sum() / denom
+
+
+def sdf_reg_loss_lattice(sdf_vol):
+    """:func:`sdf_reg_loss` over ALL edges of the Freudenthal lattice via
+    shifted volume slices — numerically identical to the edge-list form but
+    with no materialized (E, 2) table (1 GB at res 256).  ``sdf_vol``:
+    (n, n, n) SDF on the lattice."""
+    from ..geometry.tet_grid import EDGE_OFFSETS
+
+    def bce_with_logits(x, y):
+        return jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+    num = 0.0
+    cnt = 0.0
+    n = sdf_vol.shape[0]
+    for ox, oy, oz in EDGE_OFFSETS:
+        s0 = sdf_vol[: n - ox, : n - oy, : n - oz]
+        s1 = sdf_vol[ox:, oy:, oz:]
+        mask = (jnp.sign(s0) != jnp.sign(s1)).astype(sdf_vol.dtype)
+        per_edge = bce_with_logits(s0, (s1 > 0).astype(sdf_vol.dtype)) + bce_with_logits(
+            s1, (s0 > 0).astype(sdf_vol.dtype)
+        )
+        num = num + (per_edge * mask).sum()
+        cnt = cnt + mask.sum()
+    return num / jnp.maximum(cnt, 1.0)

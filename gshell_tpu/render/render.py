@@ -56,11 +56,14 @@ class RenderFlags(NamedTuple):
     use_denoiser: bool = True
     raster_chunk: int = 256
     jitter_std: float = 0.01  # world-space material jitter (ref render.py:68)
-    # tiled (binned) rasterization — use for large face counts / resolutions
-    tiled_raster: bool = False
+    # Tiled (binned) rasterization — default path: ~7× faster than the
+    # chunk scan at 512²/60k faces (368 vs 2789 ms measured on v5e).  The
+    # scan path remains for depth peeling (second layer) and as a fallback
+    # (tiled drops triangles beyond max_per_tile per tile).
+    tiled_raster: bool = True
     tile_size: int = 16
     max_pairs: int | None = None
-    max_per_tile: int = 512
+    max_per_tile: int = 1024
 
 
 def render_mesh(
@@ -90,7 +93,10 @@ def render_mesh(
 
     # ---- geometry pass ------------------------------------------------
     v_clip = xfm_points(verts, mvp)
-    if flags.tiled_raster:
+    use_tiled = (
+        flags.tiled_raster and h % flags.tile_size == 0 and w % flags.tile_size == 0
+    )
+    if use_tiled:
         rast = rasterize_tiled(
             v_clip, faces, (h, w), tile=flags.tile_size,
             max_pairs=flags.max_pairs, max_per_tile=flags.max_per_tile,

@@ -104,3 +104,50 @@ def test_no_recompile_on_field_change(grid, extractor):
     m1 = fn(pos, sdf, msdf)
     m2 = fn(pos, sdf * 0.7 + 0.01, msdf)
     assert m1.verts.shape == m2.verts.shape
+
+
+def test_sdf_reg_lattice_matches_edge_list():
+    """Volume-sliced SDF sign-consistency BCE == edge-list form."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gshell_tpu.geometry.tet_grid import build_tet_grid
+    from gshell_tpu.render.regularizer import sdf_reg_loss, sdf_reg_loss_lattice
+
+    res = 6
+    g = build_tet_grid(res, use_native=False)
+    rng = np.random.default_rng(0)
+    sdf = jnp.asarray(rng.normal(size=(g.n_verts,)).astype(np.float32))
+    a = sdf_reg_loss(sdf, jnp.asarray(g.edges.astype(np.int32)))
+    b = sdf_reg_loss_lattice(sdf.reshape(res + 1, res + 1, res + 1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_extraction_topology_free_grid():
+    """Extraction works on a grid built with build_topology=False (the
+    res-256 path: no materialized tets/tet_edges/edges tables)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gshell_tpu.geometry.gshell_tets import GShellTets
+    from gshell_tpu.geometry.tet_grid import build_tet_grid
+
+    res = 8
+    g_full = build_tet_grid(res, use_native=False)
+    g_lazy = build_tet_grid(res, build_topology=False)
+    exf = GShellTets(g_full)
+    exl = GShellTets(g_lazy)
+
+    pos = jnp.asarray(g_full.verts)
+    sdf = 0.3 - jnp.linalg.norm(pos, axis=-1)
+    rng = np.random.default_rng(1)
+    msdf = jnp.asarray(rng.normal(size=(g_full.n_verts,)).astype(np.float32))
+
+    mf = exf(pos, sdf, msdf)
+    ml = exl(pos, sdf, msdf)
+    for name in ("verts", "faces", "face_valid", "msdf", "faces_wt"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(mf, name)), np.asarray(getattr(ml, name)), err_msg=name
+        )
+    assert int(mf.n_valid_tets) == int(ml.n_valid_tets) > 0

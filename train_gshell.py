@@ -155,7 +155,7 @@ def main():
         key, k = jax.random.split(key)
         state, m = rec.train_step(state, k, target)
         if it % args.log_interval == 0:
-            jax.block_until_ready(m["total"])
+            float(m["total"])  # scalar transfer: block_until_ready returns early on axon
             t_hist.append(time.time() - t0)
             rem = (flags.iter - it) * np.mean(t_hist[-10:])
             n_active = m.get("n_valid_tets", m.get("n_surf_cubes", 0))
