@@ -191,7 +191,8 @@ class GShellGeometry:
         cfg = self.cfg
         v_def, sdf, msdf = self.fields(params)
         mesh = self.extractor(
-            v_def, sdf, msdf, watertight_template=True, compute_aug_normals=False
+            v_def, sdf, msdf, watertight_template=True,
+            compute_aug_normals=False, compute_tangents=False,
         )
         # Compact the slot-addressed face buffer (4 slots/tet, ~2.2 real)
         # before rasterization — the coverage scan costs per SLOT — and

@@ -105,6 +105,9 @@ class GShellMesh(NamedTuple):
     n_verts_watertight: int  # static: V + 1 (boundary rows start after this)
     n_valid_tets: jax.Array  # () int32 — true count (overflow monitoring)
     n_crossing_edges: jax.Array  # () int32
+    # () int32 — true active-cube count; compare against the extractor's
+    # max_cubes / max_tets / max_verts budgets to detect slot saturation
+    n_active_cubes: jax.Array | int = 0
 
 
 def _safe_inv_denominator(d: jax.Array, valid: jax.Array) -> jax.Array:
@@ -168,12 +171,13 @@ class GShellTets:
         self.n_grid_verts = n
         self.n_grid_tets = t
         self.n_grid_edges = e
-        # Active-cube budget: every active cube yields ≥1 valid tet, so MT
-        # valid tets can span at most MT cubes; in practice a crossing cube
-        # yields ~2-3, so MT/2 cubes saturate the tet budget first.
-        self.max_cubes = max(self.max_tets // 2, 1)
+        # Active-cube budget: an active cube yields ~4.5 valid tets
+        # (measured 9 tets / 2 cubes per res² across test iso-surfaces), so
+        # MT/4 cubes saturate the tet budget before the cube budget fills.
+        self.max_cubes = max(self.max_tets // 4, 1)
         # Dilated active-vertex budget (crossing-edge lower corners): the
-        # 3³-dilated vertex set of MC cubes is ≈ MC·(1+2/shell-thickness).
+        # dilated vertex set of a shell of MC cubes measures ≈ 2·MC; budget
+        # 3·MC for thin/isolated-feature headroom.
         self.max_lat_verts = min(3 * self.max_cubes, grid.n_verts)
 
         # Analytic incidence constants (the lattice topology is closed-form;
@@ -441,6 +445,7 @@ class GShellTets:
         msdf: jax.Array,
         watertight_template: bool = True,
         compute_aug_normals: bool = True,
+        compute_tangents: bool = True,
     ) -> GShellMesh:
         """Extract the open-surface mesh.  Fully jittable.
 
@@ -450,6 +455,11 @@ class GShellTets:
           msdf: (N,) manifold-SDF values at lattice vertices.
           watertight_template: if False, pre-filter tets whose mSDF is all
             non-positive (ref :255-263).
+          compute_tangents: tangent frames (and the template normals that
+            seed them) cost a segment-sum over 2·MT faces plus (MT, 4)-row
+            gathers; the training path re-randomizes tangents per pixel
+            (ref render.py:264-267, use_uv=False) and never reads them, so
+            tick() passes False and ``v_tng`` comes back zero.
         """
         N = self.n_grid_verts
         E = self.n_grid_edges
@@ -535,13 +545,17 @@ class GShellTets:
         faces_wt = jnp.stack([face0, face1], axis=1).reshape(-1, 3)  # (2*MT, 3)
         face_wt_valid = jnp.stack([num_tri >= 1, num_tri == 2], axis=1).reshape(-1)
 
-        # Template normals (needed for tangent frame; ref :318-319).
-        v_nrm_t = auto_normals(verts_buf, faces_wt, face_wt_valid)
-        # Tangents: ONB of the smooth normal. (The reference derives tangents
-        # from a synthetic per-tet UV atlas, but the training path uses
-        # use_uv=False where tangents are re-randomized per pixel —
-        # render/render.py:264-267 — so an ONB tangent is equivalent.)
-        v_tng_t, _ = build_orthonormal_basis(v_nrm_t)
+        if compute_tangents:
+            # Template normals (needed for tangent frame; ref :318-319).
+            v_nrm_t = auto_normals(verts_buf, faces_wt, face_wt_valid)
+            # Tangents: ONB of the smooth normal. (The reference derives
+            # tangents from a synthetic per-tet UV atlas, but the training
+            # path uses use_uv=False where tangents are re-randomized per
+            # pixel — render/render.py:264-267 — so an ONB tangent is
+            # equivalent.)
+            v_tng_t, _ = build_orthonormal_basis(v_nrm_t)
+        else:
+            v_tng_t = jnp.zeros_like(verts_buf)
 
         # ---- mSDF cutting (ref :321-416) --------------------------------
         me = jnp.clip(self.mesh_edge_table[tetindex], 0, 5)  # (MT, 6)
@@ -549,8 +563,17 @@ class GShellTets:
         # For tri patches mesh_edge_table rows are closed cycles
         # [c0, c1, c2, c0, ...] so corners[:, 3] == corners[:, 0].
 
-        c_msdf = msdf_buf[corners]  # (MT, 4) — gradient-carrying mSDF
-        c_msdf_sg = msdf_sg_buf[corners]
+        # One fused row gather for every per-corner attribute (pos ×3,
+        # [tangent ×3,] msdf, msdf_sg): the corner row fetch dominates the
+        # cut stage, and fetching an 8-wide row once beats three separate
+        # 3/3/1-wide gathers of the same rows.
+        attr_cols = (
+            [verts_buf, v_tng_t] if compute_tangents else [verts_buf]
+        ) + [msdf_buf[:, None], msdf_sg_buf[:, None]]
+        attr_buf = jnp.concatenate(attr_cols, axis=1)  # (V+1, 8 or 5)
+        cattr = attr_buf[corners]  # (MT, 4, C)
+        c_msdf = cattr[..., -2]  # (MT, 4) — gradient-carrying mSDF
+        c_msdf_sg = cattr[..., -1]
         mocc = (c_msdf > 0).astype(jnp.int32)
 
         is_quad = num_tri == 2
@@ -559,8 +582,9 @@ class GShellTets:
         idx_quad = mocc[:, 0] * 8 + mocc[:, 1] * 4 + mocc[:, 2] * 2 + mocc[:, 3]
 
         # Boundary vertices on the 4 cycle edges (c_j, c_{j+1 mod 4}).
+        # Attributes of corner j+1 are a static axis-1 permutation of the
+        # already-gathered corner-j rows — no second gather.
         nxt = jnp.roll(jnp.arange(4), -1)
-        cu, cw = corners, corners[:, nxt]  # (MT, 4) each
         mu, mw = c_msdf, c_msdf[:, nxt]
         mu_sg, mw_sg = c_msdf_sg, c_msdf_sg[:, nxt]
 
@@ -573,10 +597,15 @@ class GShellTets:
         bu = jnp.where(cut_ok, -mw / denom_safe, 0.0)  # weight of corner j
         bw = jnp.where(cut_ok, mu / denom_safe, 0.0)  # weight of corner j+1
 
-        vu, vw = verts_buf[cu], verts_buf[cw]  # (MT, 4, 3)
+        vu = cattr[..., 0:3]  # (MT, 4, 3)
+        vw = vu[:, nxt]
         b_verts = vu * bu[..., None] + vw * bw[..., None]
-        tu, tw = v_tng_t[cu], v_tng_t[cw]
-        b_tng = tu * bu[..., None] + tw * bw[..., None]
+        if compute_tangents:
+            tu = cattr[..., 3:6]
+            tw = tu[:, nxt]
+            b_tng = tu * bu[..., None] + tw * bw[..., None]
+        else:
+            b_tng = jnp.zeros_like(b_verts)
         bu_sg, bw_sg = jax.lax.stop_gradient(bu), jax.lax.stop_gradient(bw)
         b_msdf = mu_sg * bu_sg + mw_sg * bw_sg  # detached coefs (ref :383)
 
@@ -644,4 +673,5 @@ class GShellTets:
             n_verts_watertight=V + 1,
             n_valid_tets=n_valid,
             n_crossing_edges=n_cross,
+            n_active_cubes=cube_act.sum().astype(jnp.int32),
         )

@@ -201,7 +201,13 @@ def default_capacities(res: int, n_tets: int, n_edges: int, safety: float = 1.0)
     sphere the crossing-cube shell is ≈ π·res² cubes × 6 tets.  We budget
     generously (deformation + nontrivial topology) but cap at the full grid.
     Returns ``(max_valid_tets, max_crossing_edges)``.
+
+    Measured usage (sphere / wavy / two-blob iso-surfaces, res 32-64) is
+    ~9 valid tets, ~6 crossing edges, ~2 active cubes per res² — the
+    defaults below carry ≈2.5× headroom; extraction cost scales linearly
+    with these, and saturation is observable via the mesh's
+    ``n_valid_tets``/``n_active_cubes`` vs the capacities.
     """
-    max_tets = min(n_tets, int(40 * res * res * safety))
-    max_verts = min(n_edges, int(16 * res * res * safety))
+    max_tets = min(n_tets, int(24 * res * res * safety))
+    max_verts = min(n_edges, int(12 * res * res * safety))
     return max_tets, max_verts

@@ -289,6 +289,147 @@ def bary_screen_derivs(rast: Rast, faces: jax.Array, v_clip: jax.Array) -> jax.A
 # ----------------------------------------------------------------------------
 
 
+def _stage_b_pallas(
+    pair_data: jax.Array,  # (P_pad, 16) f32, pair-major, sorted by tile
+    tile_start: jax.Array,  # (n_tiles,) int32 segment offsets into pair_data
+    tile_cnt: jax.Array,  # (n_tiles,) int32 segment lengths
+    n_tiles: int,
+    tx_n: int,
+    tile: int,
+    k_chunk: int,
+    interpret: bool = False,
+):
+    """Per-tile coverage as a Pallas kernel.
+
+    Each grid program owns a GROUP of 8 tiles (Mosaic requires output
+    sublane blocks of ≥8): per tile it walks the tile's pair segment in
+    ``k_chunk``-row DMA slices (HBM → VMEM) with a DYNAMIC trip count —
+    tiles with few triangles do proportionally little work, unlike the XLA
+    scan which pays ``max_per_tile`` everywhere — and runs the edge tests
+    as (k_chunk, tile²) VPU ops (triangles on sublanes, pixels on lanes).
+    There is no per-tile triangle cap: segments are walked to their end.
+
+    ``pair_data`` is packed as (C, 16, 128) super-chunks — 128 pairs per
+    chunk, 16 attributes per pair on sublanes — because Mosaic requires
+    HBM slices aligned to the (·, 128) lane tiling; dynamic indexing on the
+    LEADING axis is unrestricted, so segments are walked super-chunk-wise
+    with global-index masking at both ends.  Attribute rows:
+      [a0 a1 a2 | b0 b1 b2 | c0 c1 c2 | z0 z1 z2 | area2 | tri_id+1 | 0 0]
+
+    Returns (best_z (n_tiles, tile²) f32, best_idf (n_tiles, tile²) f32 —
+    tri_id+1 encoded as float (exact below 2²⁴), 0 = miss).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BIG_F = 3.4e38  # python float: pallas kernels must not capture traced consts
+
+    px_n = tile * tile
+    G = 8  # tiles per program (output sublane block)
+    n_groups = (n_tiles + G - 1) // G
+    pad_t = n_groups * G - n_tiles
+    if pad_t:
+        tile_start = jnp.concatenate([tile_start, jnp.zeros((pad_t,), jnp.int32)])
+        tile_cnt = jnp.concatenate([tile_cnt, jnp.zeros((pad_t,), jnp.int32)])
+
+    def kernel(start_ref, cnt_ref, pair_ref, out_z_ref, out_id_ref, buf, sem):
+        i = pl.program_id(0)
+        lin = jax.lax.broadcasted_iota(jnp.int32, (1, px_n), 1)
+
+        for t in range(G):  # unrolled: 8 tiles per program
+            tid = i * G + t
+            start = start_ref[tid]
+            cnt = cnt_ref[tid]
+
+            # Pixel centers of this tile, pixels along LANES: (1, tile²).
+            ty = tid // tx_n
+            tx = tid % tx_n
+            py = (ty * tile + lin // tile).astype(jnp.float32) + 0.5
+            px = (tx * tile + lin % tile).astype(jnp.float32) + 0.5
+
+            c0 = start // k_chunk
+            c1 = (start + cnt - 1) // k_chunk  # valid only when cnt > 0
+            n_ch = jnp.where(cnt > 0, c1 - c0 + 1, 0)
+
+            def body(k, carry, start=start, cnt=cnt, px=px, py=py, c0=c0):
+                best_z, best_id = carry
+                dma = pltpu.make_async_copy(pair_ref.at[c0 + k], buf, sem)
+                dma.start()
+                dma.wait()
+                s = jnp.transpose(buf[:], (1, 0))  # (k_chunk pairs, 16)
+                row = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
+                g = (c0 + k) * k_chunk + row  # global pair index
+                in_seg = (g >= start) & (g < start + cnt)  # (k_chunk, 1)
+
+                ar = s[:, 12:13]  # (k_chunk, 1)
+                s_or = jnp.sign(ar)
+                cover = in_seg & (jnp.abs(ar) > 1e-12)
+                depth_num = jnp.zeros((k_chunk, px_n), jnp.float32)
+                for e in range(3):
+                    a = s[:, e : e + 1]
+                    b = s[:, 3 + e : 4 + e]
+                    c = s[:, 6 + e : 7 + e]
+                    z = s[:, 9 + e : 10 + e]
+                    ev = a * px + b * py + c  # (k_chunk, tile²)
+                    eo = ev * s_or
+                    ao = a * s_or
+                    bo = b * s_or
+                    edge_ok = (ao > 0.0) | ((ao == 0.0) & (bo > 0.0))
+                    cover = cover & ((eo > 0.0) | ((eo == 0.0) & edge_ok))
+                    depth_num = depth_num + ev * z
+                depth = depth_num * pl.reciprocal(
+                    jnp.where(jnp.abs(ar) > 1e-12, ar, 1.0), approx=False
+                )
+                cover = cover & (depth >= -1.0) & (depth <= 1.0)
+                depth = jnp.where(cover, depth, BIG_F)
+                zc = jnp.min(depth, axis=0, keepdims=True)  # (1, tile²)
+                idf = s[:, 13:14]
+                idc = jnp.min(
+                    jnp.where(depth == zc, idf, BIG_F), axis=0, keepdims=True
+                )
+                better = zc < best_z
+                return (
+                    jnp.where(better, zc, best_z),
+                    jnp.where(better, idc, best_id),
+                )
+
+            init = (
+                jnp.full((1, px_n), BIG_F, jnp.float32),
+                jnp.zeros((1, px_n), jnp.float32),
+            )
+            best_z, best_id = jax.lax.fori_loop(0, n_ch, body, init)
+            out_z_ref[:, t, :] = best_z
+            out_id_ref[:, t, :] = jnp.where(best_id >= BIG_F, 0.0, best_id)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec((1, G, px_n), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, px_n), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, k_chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((n_groups, G, px_n), jnp.float32),
+        jax.ShapeDtypeStruct((n_groups, G, px_n), jnp.float32),
+    )
+    bz, bidf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(tile_start, tile_cnt, pair_data)
+    return (
+        bz.reshape(n_groups * G, px_n)[:n_tiles],
+        bidf.reshape(n_groups * G, px_n)[:n_tiles],
+    )
+
+
 def rasterize_tiled(
     v_clip: jax.Array,
     faces: jax.Array,
@@ -297,23 +438,29 @@ def rasterize_tiled(
     max_pairs: int | None = None,
     max_per_tile: int = 512,
     k_chunk: int = 64,
+    backend: str | None = None,
+    pallas_interpret: bool = False,
 ) -> Rast:
     """Two-stage rasterization: analytic (triangle, tile) pair expansion +
-    sort-based binning, then per-tile coverage over ≤``max_per_tile``
-    triangles.  Replaces the O(pixels × faces) scan of :func:`rasterize`
-    with O(pixels × tris-per-tile) — the TPU counterpart of nvdiffrast's
+    sort-based binning, then per-tile coverage.  Replaces the
+    O(pixels × faces) scan of :func:`rasterize` with
+    O(pixels × tris-per-tile) — the TPU counterpart of nvdiffrast's
     hardware binning.  Fully static shapes:
 
       stage A: bbox → tile-rect per triangle; pair j is decoded via
                searchsorted on the cumulative rect sizes (no host loop);
                pairs sorted by tile id; per-tile segments located by
                searchsorted again.
-      stage B: per tile, scan ``k_chunk``-sized slices of its triangle list,
-               z-test, keep the best.
+      stage B: per tile, coverage + z-test over the tile's pair segment.
+               On TPU this runs as a Pallas kernel (:func:`_stage_b_pallas`)
+               with a dynamic per-tile trip count and NO per-tile triangle
+               cap; elsewhere (and with ``backend="xla"``) an XLA scan over
+               ``max_per_tile`` gathered triangle slots.
 
-    Overflow behavior: pairs beyond ``max_pairs`` and triangles beyond
-    ``max_per_tile`` per tile are dropped (choose capacities generously;
-    both scale with face count / clustering).
+    Overflow behavior: pairs beyond ``max_pairs`` are dropped; the XLA
+    backend additionally drops triangles beyond ``max_per_tile`` per tile.
+
+    ``backend``: None → "pallas" on TPU, "xla" otherwise.
     """
     h, w = resolution
     assert h % tile == 0 and w % tile == 0
@@ -360,6 +507,51 @@ def rasterize_tiled(
 
     tile_start = jnp.searchsorted(s_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="left")
     tile_end = jnp.searchsorted(s_tile, jnp.arange(n_tiles, dtype=jnp.int32), side="right")
+
+    if backend is None:
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+    if backend == "pallas":
+        kcp = 128  # pallas chunk: full sublane group per DMA
+        tri_s = s_tri  # (max_pairs,) already clipped to [0, f)
+        pd = jnp.concatenate(
+            [
+                a[tri_s],
+                b[tri_s],
+                c[tri_s],
+                z[tri_s],
+                area2[tri_s][:, None],
+                (tri_s + 1).astype(jnp.float32)[:, None],
+                jnp.zeros((max_pairs, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+        # sentinel-bin pairs (beyond `total`) are sorted past every real
+        # tile's segment.  Pack into (C, 16, kcp) super-chunks (see
+        # _stage_b_pallas layout note).
+        n_sc = (max_pairs + kcp - 1) // kcp
+        pd = jnp.pad(pd, ((0, n_sc * kcp - max_pairs), (0, 0)))
+        pd = pd.reshape(n_sc, kcp, 16).transpose(0, 2, 1)
+        # Discrete visibility is non-differentiable (outputs are
+        # stop-gradiented in _stitch_tiles); cut tangents BEFORE the
+        # kernel — pallas_call has no JVP rule.
+        pd = jax.lax.stop_gradient(pd)
+        bz, bidf = _stage_b_pallas(
+            pd,
+            tile_start.astype(jnp.int32),
+            (tile_end - tile_start).astype(jnp.int32),
+            n_tiles,
+            tx_n,
+            tile,
+            kcp,
+            interpret=pallas_interpret,
+        )
+        best_id = bidf.astype(jnp.int32) - 1  # -1 = miss
+        best_z = jnp.where(best_id >= 0, bz, _BIG)
+        return _stitch_tiles(
+            best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile
+        )
+
     tile_cnt = jnp.minimum(tile_end - tile_start, max_per_tile)
 
     # per-tile triangle lists (n_tiles, max_per_tile)
@@ -415,8 +607,11 @@ def rasterize_tiled(
         jnp.full((n_tiles, tile * tile), -1, jnp.int32),
     )
     (best_z, best_id), _ = jax.lax.scan(body, init, jnp.arange(n_kc))
+    return _stitch_tiles(best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile)
 
-    # stitch tiles → image
+
+def _stitch_tiles(best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile) -> Rast:
+    """(n_tiles, tile²) per-tile winners → image-layout :class:`Rast`."""
     best_z = best_z.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3).reshape(h, w)
     best_id = best_id.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3).reshape(h, w)
     hit = best_id >= 0

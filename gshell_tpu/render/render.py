@@ -64,6 +64,8 @@ class RenderFlags(NamedTuple):
     tile_size: int = 16
     max_pairs: int | None = None
     max_per_tile: int = 1024
+    # stage-B backend: None → Pallas kernel on TPU, XLA scan elsewhere
+    raster_backend: str | None = None
 
 
 def render_mesh(
@@ -100,6 +102,7 @@ def render_mesh(
         rast = rasterize_tiled(
             v_clip, faces, (h, w), tile=flags.tile_size,
             max_pairs=flags.max_pairs, max_per_tile=flags.max_per_tile,
+            backend=flags.raster_backend,
         )
     else:
         rast = rasterize(v_clip, faces, (h, w), chunk=flags.raster_chunk)

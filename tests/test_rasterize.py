@@ -192,3 +192,34 @@ def test_tiled_matches_bruteforce():
     zt = np.asarray(r_t.zbuf)
     m = ids_b > 0
     np.testing.assert_allclose(zb[m], zt[m], atol=1e-4)
+
+
+def test_tiled_pallas_matches_xla():
+    """Pallas stage B (interpret mode) == XLA stage B on a random mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gshell_tpu.ops.math import perspective, lookat, xfm_points
+    from gshell_tpu.ops.rasterize import rasterize_tiled
+
+    rng = np.random.default_rng(3)
+    nv, nf = 60, 40
+    verts = jnp.asarray(rng.uniform(-0.6, 0.6, size=(nv, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, nv, size=(nf, 3)).astype(np.int32))
+    proj = perspective(np.deg2rad(45.0))
+    view = lookat(jnp.array([0.0, 0.0, 2.2]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    vc = xfm_points(verts, proj @ view)
+
+    r_x = rasterize_tiled(vc, faces, (64, 64), tile=16, max_per_tile=1024, backend="xla")
+    r_p = rasterize_tiled(
+        vc, faces, (64, 64), tile=16, backend="pallas", pallas_interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(r_x.tri_id), np.asarray(r_p.tri_id))
+    hit = np.asarray(r_x.tri_id) > 0
+    np.testing.assert_allclose(
+        np.asarray(r_x.zbuf)[hit], np.asarray(r_p.zbuf)[hit], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_x.bary), np.asarray(r_p.bary), atol=1e-5
+    )

@@ -150,13 +150,16 @@ def main():
     state = rec.init_state(key, pretrain_steps=flags.sdf_mlp_pretrain_steps)
 
     t_hist = []
+    t0 = time.time()
     for it, target in enumerate(ds.iterate(flags.batch, flags.iter, background="random")):
-        t0 = time.time()
         key, k = jax.random.split(key)
         state, m = rec.train_step(state, k, target)
         if it % args.log_interval == 0:
             float(m["total"])  # scalar transfer: block_until_ready returns early on axon
-            t_hist.append(time.time() - t0)
+            # time since the last sync ÷ iters in between — non-logged iters
+            # queue asynchronously, so per-iter wall time must be amortized
+            t_hist.append((time.time() - t0) / max(args.log_interval, 1))
+            t0 = time.time()
             rem = (flags.iter - it) * np.mean(t_hist[-10:])
             n_active = m.get("n_valid_tets", m.get("n_surf_cubes", 0))
             print(
