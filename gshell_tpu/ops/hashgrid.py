@@ -119,3 +119,38 @@ def hashgrid_encode(params: HashGridParams, x: jax.Array, cfg: HashGridConfig) -
     feats = flat[idx]  # (P, 8L, F) — one gather
     out = (feats * wgt[..., None]).reshape(p, L, 8, cfg.n_features).sum(axis=2)
     return out.reshape(*shp, cfg.out_dim)
+
+
+def hashgrid_encode_stochastic(
+    params: HashGridParams,
+    x: jax.Array,
+    cfg: HashGridConfig,
+    key: jax.Array,
+    frac: float,
+) -> jax.Array:
+    """:func:`hashgrid_encode` with an EXACT forward but UNBIASED stochastic
+    table gradients from a random point subset.
+
+    Motivation (measured, v5e): the backward of the fused (P, 8L) gather is
+    a scatter-add at ~80 ns/row into the 4 MB-per-level tables — ≈2 s for
+    512² inputs, dominating the whole training step.  Sampling ``frac`` of
+    the points (with replacement, scaled 1/frac) gives an unbiased gradient
+    estimator whose variance is far below the Monte-Carlo shading noise
+    already present — and the reference itself rescales these gradients by
+    1/8 (``train_gshelltet_deepfashion.py:432-437``), so exact magnitudes
+    were never load-bearing.  Gradients w.r.t. ``x`` (geometry) stay exact:
+    their backward is elementwise, no scatter.
+    """
+    shp = x.shape[:-1]
+    xf = x.reshape(-1, 3)
+    p = xf.shape[0]
+    # exact-forward path; tables stop-gradiented → its backward carries
+    # only the cheap x-gradients
+    sg_tables = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+    full = hashgrid_encode(sg_tables, xf, cfg)
+    n_sub = max(int(p * frac), 1)
+    sel = jax.random.randint(key, (n_sub,), 0, p)
+    sub = hashgrid_encode(params, jax.lax.stop_gradient(xf[sel]), cfg)
+    # exactly zero in value; routes table cotangents through the subset
+    delta = (sub - jax.lax.stop_gradient(sub)) * (p / n_sub)
+    return full.at[sel].add(delta).reshape(*shp, cfg.out_dim)

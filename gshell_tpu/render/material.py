@@ -23,6 +23,7 @@ from ..ops.hashgrid import (
     HashGridConfig,
     HashGridParams,
     hashgrid_encode,
+    hashgrid_encode_stochastic,
     init_hashgrid,
 )
 from ..ops.math import scale_grad
@@ -38,6 +39,10 @@ class MLPTexture3DConfig(NamedTuple):
     aabb_min: tuple = (-1.0, -1.0, -1.0)
     aabb_max: tuple = (1.0, 1.0, 1.0)
     min_max: tuple | None = None  # ((c_min,)*C, (c_max,)*C)
+    # Fraction of sample points whose hash-TABLE gradients are kept each
+    # step (unbiased, 1/frac-scaled; see hashgrid_encode_stochastic).
+    # 1.0 = exact.  Only active in training calls that pass a key.
+    table_grad_frac: float = 0.125
 
 
 class MLPTexture3DParams(NamedTuple):
@@ -58,15 +63,27 @@ def init_mlp_texture(key: jax.Array, cfg: MLPTexture3DConfig) -> MLPTexture3DPar
 
 
 def sample_mlp_texture(
-    params: MLPTexture3DParams, cfg: MLPTexture3DConfig, pos: jax.Array
+    params: MLPTexture3DParams,
+    cfg: MLPTexture3DConfig,
+    pos: jax.Array,
+    key: jax.Array | None = None,
 ) -> jax.Array:
-    """Sample the material field at world positions (ref ``mlptexture.py:88-99``)."""
+    """Sample the material field at world positions (ref ``mlptexture.py:88-99``).
+
+    ``key``: training callers pass a PRNG key to enable the stochastic
+    table-gradient estimator (``cfg.table_grad_frac``); evaluation callers
+    omit it and get exact gradients."""
     aabb_min = jnp.asarray(cfg.aabb_min)
     aabb_max = jnp.asarray(cfg.aabb_max)
     shp = pos.shape[:-1]
     x = (pos.reshape(-1, 3) - aabb_min) / (aabb_max - aabb_min)
     x = jnp.clip(x, 0.0, 1.0)
-    feat = hashgrid_encode(params.tables, x, cfg.hash)
+    if key is not None and cfg.table_grad_frac < 1.0:
+        feat = hashgrid_encode_stochastic(
+            params.tables, x, cfg.hash, key, cfg.table_grad_frac
+        )
+    else:
+        feat = hashgrid_encode(params.tables, x, cfg.hash)
     feat = scale_grad(feat, GRADIENT_SCALING)
     out = apply_relu_mlp(params.mlp, feat)
     out = jax.nn.sigmoid(out)

@@ -116,7 +116,7 @@ def render_mesh(
     gb_geo_normal = fn[fid] * mask
 
     # Random isotropic tangents (ref render.py:264-267, use_uv=False path)
-    k_tng, k_jit, k_shade, k_nrmjit = jax.random.split(key, 4)
+    k_tng, k_jit, k_shade, k_nrmjit, k_tex, k_texj = jax.random.split(key, 6)
     noise = jax.random.normal(k_tng, gb_normal_smooth.shape)
     noise = safe_normalize(noise)
     gb_tangent = jnp.cross(noise, gb_normal_smooth)
@@ -142,9 +142,9 @@ def render_mesh(
     gb_depth = jax.lax.stop_gradient(jnp.concatenate([z0, z_grad], axis=-1))
 
     # ---- material pass (ref shade() render.py:66-97) -------------------
-    all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos)
+    all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos, key=k_tex)
     jit_pos = gb_pos + flags.jitter_std * jax.random.normal(k_jit, gb_pos.shape)
-    all_tex_jitter = sample_mlp_texture(mat_params, mat_cfg, jit_pos)
+    all_tex_jitter = sample_mlp_texture(mat_params, mat_cfg, jit_pos, key=k_texj)
     kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
     omit_o = jnp.asarray([0.0, 1.0, 1.0])
     kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd) * mask

@@ -1,0 +1,62 @@
+"""Stochastic hash-table gradient estimator: exact forward, unbiased grads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gshell_tpu.ops.hashgrid import (
+    HashGridConfig,
+    hashgrid_encode,
+    hashgrid_encode_stochastic,
+    init_hashgrid,
+)
+
+
+def setup():
+    cfg = HashGridConfig(n_levels=4, log2_table_size=8, base_resolution=4,
+                         desired_resolution=32)
+    params = init_hashgrid(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    return cfg, params, x
+
+
+def test_forward_exact():
+    cfg, params, x = setup()
+    full = hashgrid_encode(params, x, cfg)
+    sto = hashgrid_encode_stochastic(params, x, cfg, jax.random.PRNGKey(2), 0.25)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(sto), atol=1e-7)
+
+
+def test_x_grads_exact():
+    cfg, params, x = setup()
+    g_full = jax.grad(lambda x_: hashgrid_encode(params, x_, cfg).sum())(x)
+    g_sto = jax.grad(
+        lambda x_: hashgrid_encode_stochastic(
+            params, x_, cfg, jax.random.PRNGKey(2), 0.25
+        ).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sto), atol=1e-6)
+
+
+def test_table_grads_unbiased():
+    cfg, params, x = setup()
+    g_exact = jax.grad(
+        lambda t: hashgrid_encode(type(params)(t), x, cfg).sum()
+    )(params.tables)
+    gfn = jax.jit(
+        lambda k: jax.grad(
+            lambda t: hashgrid_encode_stochastic(
+                type(params)(t), x, cfg, k, 0.5
+            ).sum()
+        )(params.tables)
+    )
+    acc = jnp.zeros_like(g_exact)
+    n = 600
+    for i in range(n):
+        acc = acc + gfn(jax.random.PRNGKey(100 + i))
+    mean = np.asarray(acc / n)
+    exact = np.asarray(g_exact)
+    denom = np.abs(exact).max()
+    assert denom > 0
+    # Monte-Carlo mean within a few std-errs of the exact gradient
+    err = np.abs(mean - exact).max() / denom
+    assert err < 0.25, err
