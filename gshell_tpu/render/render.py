@@ -85,9 +85,18 @@ def render_mesh(
     shadow_scale: jax.Array | float = 1.0,
     denoiser_sigma: jax.Array | float = 2.0,
     bsdf_override: Optional[str] = None,
+    v_tex: Optional[jax.Array] = None,
+    t_tex_idx: Optional[jax.Array] = None,
 ) -> dict:
     """Render one view.  Returns the reference's buffer dict
-    (``render/render.py:169-191``) in NHWC-without-N layout (H, W, C)."""
+    (``render/render.py:169-191``) in NHWC-without-N layout (H, W, C).
+
+    Materials (ref shade() render.py:66-97): ``mat_params`` is either an
+    :class:`MLPTexture3DParams` (neural kd_ks field, sampled at world
+    positions) or a dict of :class:`~gshell_tpu.render.texture.Texture2D`
+    maps ``{'kd', 'ks'[, 'normal']}`` sampled at interpolated UVs — pass
+    ``v_tex``/``t_tex_idx`` for the latter (kd may carry alpha in channel
+    3; the normal map perturbs the shading normal)."""
     h, w = flags.resolution
     spp = flags.spp
     h, w = h * spp, w * spp
@@ -142,14 +151,53 @@ def render_mesh(
     gb_depth = jax.lax.stop_gradient(jnp.concatenate([z0, z_grad], axis=-1))
 
     # ---- material pass (ref shade() render.py:66-97) -------------------
-    all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos, key=k_tex)
-    jit_pos = gb_pos + flags.jitter_std * jax.random.normal(k_jit, gb_pos.shape)
-    all_tex_jitter = sample_mlp_texture(mat_params, mat_cfg, jit_pos, key=k_texj)
-    kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
     omit_o = jnp.asarray([0.0, 1.0, 1.0])
-    kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd) * mask
-    ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * omit_o * mask
-    alpha = jnp.ones_like(kd[..., 0:1])
+    perturbed_nrm = None
+    if isinstance(mat_params, dict):
+        # Texture2D path (ref render.py:79-97 'kd'/'ks'/'normal' lookups):
+        # interpolate UVs + screen-space UV derivatives for mip selection.
+        assert v_tex is not None and t_tex_idx is not None, (
+            "Texture2D materials need v_tex/t_tex_idx UV attributes"
+        )
+        from . import texture as tex2d
+
+        gb_texc = interpolate(v_tex, rast, t_tex_idx, v_clip=v_clip)
+        tri_uv = v_tex[t_tex_idx[fid]]  # (H, W, 3, 2)
+        duv_dx = (
+            db[..., 0:1] * (tri_uv[..., 0, :] - tri_uv[..., 2, :])
+            + db[..., 2:3] * (tri_uv[..., 1, :] - tri_uv[..., 2, :])
+        )
+        duv_dy = (
+            db[..., 1:2] * (tri_uv[..., 0, :] - tri_uv[..., 2, :])
+            + db[..., 3:4] * (tri_uv[..., 1, :] - tri_uv[..., 2, :])
+        )
+        uv_da = jax.lax.stop_gradient(
+            jnp.concatenate(
+                [duv_dx[..., 0:1], duv_dy[..., 0:1], duv_dx[..., 1:2], duv_dy[..., 1:2]],
+                axis=-1,
+            )
+        )
+        kd4 = tex2d.sample(mat_params["kd"], gb_texc, uv_da)
+        alpha = kd4[..., 3:4] if kd4.shape[-1] == 4 else jnp.ones_like(kd4[..., 0:1])
+        kd = kd4[..., 0:3]
+        ks = tex2d.sample(mat_params["ks"], gb_texc, uv_da)[..., 0:3]
+        if "normal" in mat_params:
+            perturbed_nrm = tex2d.sample(mat_params["normal"], gb_texc, uv_da)[..., 0:3]
+        # screen-space jitter taps for the smoothness buffers (ref :85-97 —
+        # dr.texture at a jittered pixel grid; roll is the in-repo analogue)
+        shift_t = jax.random.randint(k_jit, (2,), -1, 2)
+        tap = lambda img: jnp.roll(img, (shift_t[0], shift_t[1]), axis=(0, 1))
+        grad_weight = mask * tap(mask)
+        kd_grad = jnp.abs(tap(kd) - kd) * grad_weight
+        ks_grad = jnp.abs(tap(ks) - ks) * omit_o * grad_weight
+    else:
+        all_tex = sample_mlp_texture(mat_params, mat_cfg, gb_pos, key=k_tex)
+        jit_pos = gb_pos + flags.jitter_std * jax.random.normal(k_jit, gb_pos.shape)
+        all_tex_jitter = sample_mlp_texture(mat_params, mat_cfg, jit_pos, key=k_texj)
+        kd, ks = all_tex[..., 0:3], all_tex[..., 3:6]
+        kd_grad = jnp.abs(all_tex_jitter[..., 0:3] - kd) * mask
+        ks_grad = jnp.abs(all_tex_jitter[..., 3:6] - ks) * omit_o * mask
+        alpha = jnp.ones_like(kd[..., 0:1])
 
     # Screen-space normal smoothness tap (ref render.py:110-111)
     shift = jax.random.randint(k_nrmjit, (2,), -1, 2)
@@ -159,8 +207,8 @@ def render_mesh(
     # ---- shading normal (ref render.py:118) ----------------------------
     view_pos = jnp.broadcast_to(campos.reshape(1, 1, 3), gb_pos.shape)
     gb_normal = bsdf_ops.prepare_shading_normal(
-        gb_pos, view_pos, None, gb_normal_smooth, gb_tangent, gb_geo_normal,
-        two_sided_shading=True, opengl=True,
+        gb_pos, view_pos, perturbed_nrm, gb_normal_smooth, gb_tangent,
+        gb_geo_normal, two_sided_shading=True, opengl=True,
     )
 
     # ---- Monte-Carlo environment shading (ref render.py:127-152) -------
@@ -218,8 +266,11 @@ def render_mesh(
         background = jnp.zeros((h, w, 3))
     elif spp > 1 and background.shape[0] != h:
         background = jnp.repeat(jnp.repeat(background, spp, axis=0), spp, axis=1)
-    comp = background * (1.0 - mask) + shaded_col * mask
-    comp_rgba = jnp.concatenate([comp, mask], axis=-1)
+    # composite alpha = coverage × texture alpha (ref composite_buffer
+    # render.py:352-359 lerp weight)
+    m_a = mask * alpha
+    comp = background * (1.0 - m_a) + shaded_col * m_a
+    comp_rgba = jnp.concatenate([comp, m_a], axis=-1)
     shaded = antialias(comp_rgba, rast, v_clip, faces)
 
     # inverse depth (ref render.py:180, used by the use_depth losses)
@@ -242,6 +293,16 @@ def render_mesh(
     if diffuse_accum is not None:
         buffers["diffuse_light"] = jnp.concatenate([diffuse_accum, alpha], -1)
         buffers["specular_light"] = jnp.concatenate([specular_accum, alpha], -1)
+    if perturbed_nrm is not None:
+        # ref render.py:112-116 perturbed-normal smoothness buffers
+        pn_tap = jnp.roll(perturbed_nrm, (shift[0], shift[1]), axis=(0, 1))
+        pn_grad = 1.0 - safe_normalize(
+            safe_normalize(pn_tap) + safe_normalize(perturbed_nrm)
+        )[..., 2:3]
+        buffers["perturbed_nrm"] = jnp.concatenate([perturbed_nrm, alpha], -1)
+        buffers["perturbed_nrm_grad"] = jnp.concatenate(
+            [jnp.repeat(pn_grad, 3, axis=-1) * mask, alpha], -1
+        )
 
     # mSDF image for the open/close hinge losses (ref render.py:302-309)
     if msdf is not None:

@@ -149,3 +149,63 @@ def test_render_spp_supersampling():
         np.asarray(outs[1]["shaded"][..., :3]) - np.asarray(outs[2]["shaded"][..., :3])
     ).mean()
     assert d < 0.05
+
+
+def test_render_texture2d_material():
+    """Texture2D kd/ks material path: UV-sampled colors land in the buffers
+    (ref shade() render.py:79-97 'kd'/'ks' lookups)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gshell_tpu.ops import math as gmath
+    from gshell_tpu.render import texture as tex2d
+    from gshell_tpu.render.light import update_pdf
+    from gshell_tpu.render.render import RenderFlags, render_mesh
+
+    mesh = quad_mesh()
+    v_tex = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    # kd: left half red, right half green; ks: constant rough metal-free
+    base = np.zeros((16, 16, 3), np.float32)
+    base[:, :8] = (1.0, 0.0, 0.0)
+    base[:, 8:] = (0.0, 1.0, 0.0)
+    kd = tex2d.build_mips(jnp.asarray(base))
+    ks = tex2d.build_mips(
+        jnp.broadcast_to(jnp.asarray([0.0, 0.6, 0.0], jnp.float32), (4, 4, 3))
+    )
+    mat = {"kd": kd, "ks": ks}
+
+    light = update_pdf(jnp.full((16, 32, 3), 1.0))
+    proj = gmath.perspective(np.deg2rad(45.0))
+    view = gmath.lookat(jnp.array([0.0, 0.0, 2.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    flags = RenderFlags(resolution=(RES, RES), n_samples=2, bsdf="pbr", use_denoiser=False)
+    buf = render_mesh(
+        jax.random.PRNGKey(1), mesh.v_pos, mesh.t_pos_idx, mesh.v_nrm, None,
+        mat, None, proj @ view, jnp.array([0.0, 0.0, 2.0]), light, flags,
+        shadow_scale=0.0, v_tex=v_tex, t_tex_idx=mesh.t_pos_idx,
+    )
+    kd_img = np.asarray(buf["kd"])
+    m = np.asarray(buf["mask"])[..., 0]
+    ys, xs = np.nonzero(m)
+    left = kd_img[ys, xs[xs < RES // 2 - 2]] if False else None
+    # left-of-center covered pixels are red, right-of-center green
+    lm = m[:, : RES // 2 - 2].astype(bool)
+    rm = m[:, RES // 2 + 2 :].astype(bool)
+    assert lm.sum() > 50 and rm.sum() > 50
+    kd_l = kd_img[:, : RES // 2 - 2][lm]
+    kd_r = kd_img[:, RES // 2 + 2 :][rm]
+    # u=0 is the -x edge; with the reference projection x is not mirrored,
+    # but allow either orientation: one side red, the other green
+    sides = {tuple(np.round(kd_l[:, :3].mean(0)).astype(int)),
+             tuple(np.round(kd_r[:, :3].mean(0)).astype(int))}
+    assert sides == {(1, 0, 0), (0, 1, 0)}, sides
+    assert np.isfinite(np.asarray(buf["shaded"])).all()
+    # gradients flow to the texture
+    g = jax.grad(
+        lambda kd_t: render_mesh(
+            jax.random.PRNGKey(1), mesh.v_pos, mesh.t_pos_idx, mesh.v_nrm, None,
+            {"kd": kd_t, "ks": ks}, None, proj @ view, jnp.array([0.0, 0.0, 2.0]),
+            light, flags, shadow_scale=0.0, v_tex=v_tex, t_tex_idx=mesh.t_pos_idx,
+        )["shaded"].sum()
+    )(kd)
+    assert float(jnp.abs(g.base).sum()) > 0
