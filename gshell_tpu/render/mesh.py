@@ -80,16 +80,29 @@ def load_obj(path: str, scale: float = 1.0, with_attrs: bool = False):
     }
 
 
-def save_obj(path: str, v_pos: np.ndarray, faces: np.ndarray, face_valid=None):
+def save_obj(
+    path: str,
+    v_pos: np.ndarray,
+    faces: np.ndarray,
+    face_valid=None,
+    uvs: np.ndarray | None = None,
+    uv_idx: np.ndarray | None = None,
+    mtl_name: str | None = None,
+):
     """OBJ writer (twin of ``render/obj.py:143-192``), dropping padded faces
-    and unreferenced vertices."""
+    and unreferenced vertices.  ``uvs``/``uv_idx`` (parallel to ``faces``)
+    emit ``vt`` rows and ``f v/vt`` faces; ``mtl_name`` adds mtllib/usemtl."""
     v = np.asarray(v_pos)
     f = np.asarray(faces)
+    fuv = None if uv_idx is None else np.asarray(uv_idx)
     if face_valid is not None:
-        f = f[np.asarray(face_valid)]
+        sel = np.asarray(face_valid)
+        f = f[sel]
+        fuv = None if fuv is None else fuv[sel]
     # Drop degenerate faces (padding routed to sentinel vertex)
     keep = ~((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2]) | (f[:, 0] == f[:, 2]))
     f = f[keep]
+    fuv = None if fuv is None else fuv[keep]
     used = np.unique(f.reshape(-1))
     remap = np.full(v.shape[0], -1, np.int64)
     remap[used] = np.arange(used.shape[0])
@@ -97,7 +110,18 @@ def save_obj(path: str, v_pos: np.ndarray, faces: np.ndarray, face_valid=None):
     f = remap[f]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as out:
+        if mtl_name is not None:
+            out.write(f"mtllib {mtl_name}.mtl\nusemtl {mtl_name}\n")
         for p in v:
             out.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
-        for tri in f:
-            out.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
+        if fuv is not None:
+            for t in np.asarray(uvs):
+                out.write(f"vt {t[0]:.6f} {t[1]:.6f}\n")
+            for tri, tuv in zip(f, fuv):
+                out.write(
+                    f"f {tri[0]+1}/{tuv[0]+1} {tri[1]+1}/{tuv[1]+1} "
+                    f"{tri[2]+1}/{tuv[2]+1}\n"
+                )
+        else:
+            for tri in f:
+                out.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")

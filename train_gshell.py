@@ -35,6 +35,11 @@ def main():
     p.add_argument("--n_samples", type=int, default=None)
     p.add_argument("--flexicubes", action="store_true")
     p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument(
+        "--bake-texture", type=int, default=0, metavar="RES",
+        help="after training, UV-unwrap the mesh and bake kd/ks atlases at "
+        "RES² (the reference's xatlas → render_uv flow)",
+    )
     args = p.parse_args()
 
     from gshell_tpu.utils.config import load_flags, learning_rates
@@ -174,7 +179,43 @@ def main():
 
     _save_mesh(geo, state, flags.out_dir, flags.iter)
     _save_state(state, flags.out_dir)
+    if args.bake_texture:
+        _bake_texture(geo, state, mat_cfg, flags.out_dir, args.bake_texture)
     print("done.")
+
+
+def _bake_texture(geo, state, mat_cfg, out_dir, res):
+    """UV-unwrap the final mesh and bake the neural material to kd/ks
+    atlases (twin of the reference xatlas → ``render_uv`` bake,
+    ``train_gshelltet_deepfashion.py:105-140``)."""
+    from gshell_tpu.ops.uv_unwrap import unwrap
+    from gshell_tpu.render.mesh import save_obj
+    from gshell_tpu.render.render import render_uv
+    from gshell_tpu.utils.image import save_image
+
+    mesh = jax.jit(geo.get_mesh)(state.params_geo)
+    f = np.asarray(mesh.faces)[np.asarray(mesh.face_valid)]
+    keep = ~((f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2]) | (f[:, 0] == f[:, 2]))
+    f = f[keep]
+    used, inv = np.unique(f.reshape(-1), return_inverse=True)
+    v2 = np.asarray(mesh.verts)[used]
+    f2 = inv.reshape(-1, 3).astype(np.int32)
+    uvs, uv_idx = unwrap(v2, f2)
+    maskb, kd, ks = render_uv(
+        jnp.asarray(uvs), jnp.asarray(uv_idx), jnp.asarray(v2),
+        jnp.asarray(f2), (res, res), state.params_mat, mat_cfg,
+    )
+    save_image(os.path.join(out_dir, "texture_kd.png"), np.asarray(kd))
+    save_image(os.path.join(out_dir, "texture_ks.png"), np.asarray(ks))
+    save_obj(
+        os.path.join(out_dir, "mesh_textured.obj"), v2, f2,
+        uvs=uvs, uv_idx=uv_idx, mtl_name="baked",
+    )
+    with open(os.path.join(out_dir, "baked.mtl"), "w") as m:
+        m.write(
+            "newmtl baked\nbsdf pbr\nmap_Kd texture_kd.png\nmap_Ks texture_ks.png\n"
+        )
+    print(f"baked {res}x{res} kd/ks atlases -> {out_dir}")
 
 
 def _save_mesh(geo, state, out_dir, it):
