@@ -121,6 +121,7 @@ class GShellFlexiCubes:
         alpha: jax.Array | None = None,  # (C, 8)
         gamma: jax.Array | None = None,  # (C,)
         training: bool = True,
+        grad_func=None,  # p (..., 3) → SDF gradient; enables QEF dual verts
     ) -> FlexiMesh:
         g = self.grid
         N, C, E = g.n_verts, g.n_cubes, g.n_edges
@@ -236,6 +237,24 @@ class GShellFlexiCubes:
         nu_d_sg = (nu_sg_g * beta_g_sg).sum(-1) / beta_sum_sg[..., 0]
 
         vd_valid = gmask.any(-1)  # (MC, 4)
+        if grad_func is not None:
+            # QEF dual vertices (ref _solve_vd_QEF): argmin_v Σᵢ(nᵢ·(v−pᵢ))²
+            # + qef_reg·‖v − v̄‖², solved via the 3×3 normal equations per
+            # group (masked crossing rows contribute zero).  The reference
+            # regularizes toward the crossing centroid with torch lstsq;
+            # here the target is the β-weighted mean (identical when β≡1).
+            qef_reg = 1e-3  # ref qef_reg_scale (gshell_flexicubes.py:67)
+            nrm = grad_func(ue_g)
+            nrm = nrm / jnp.maximum(
+                jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
+            )
+            Am = nrm * gmask[..., None]  # (MC, 4, 7, 3)
+            bm = (ue_g * Am).sum(-1)  # (MC, 4, 7)
+            AtA = jnp.einsum("...ki,...kj->...ij", Am, Am) + qef_reg * jnp.eye(
+                3, dtype=x.dtype
+            )
+            Atb = jnp.einsum("...ki,...k->...i", Am, bm) + qef_reg * vd
+            vd = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
         vd = jnp.where(vd_valid[..., None], vd, 0.0)
         nu_d = jnp.where(vd_valid, nu_d, 0.0)
         nu_d_sg = jnp.where(vd_valid, nu_d_sg, 0.0)

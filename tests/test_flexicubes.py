@@ -89,3 +89,29 @@ def test_weights_and_grads(grid, fc):
         g = np.asarray(g)
         assert np.isfinite(g).all(), f"grad {i} not finite"
         assert np.abs(g).max() > 0, f"grad {i} all zero"
+
+
+def test_qef_dual_vertices_on_plane():
+    """With grad_func (QEF mode, ref _solve_vd_QEF), dual vertices of a
+    planar SDF land on the plane (QEF minimizes n·(v-p) residuals)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gshell_tpu.geometry.cube_grid import build_cube_grid
+    from gshell_tpu.geometry.gshell_flexicubes import GShellFlexiCubes
+
+    g = build_cube_grid(8)
+    ex = GShellFlexiCubes(g)
+    x = jnp.asarray(g.verts)
+    plane_z = 0.037
+    s = x[:, 2] - plane_z  # SDF of plane z = plane_z (inside < 0)
+    nu = jnp.ones((x.shape[0],))
+
+    grad = lambda p: jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), p.shape)
+    mesh = ex(x, s, nu, training=False, grad_func=grad)
+    v = np.asarray(mesh.verts)
+    fv = np.asarray(mesh.face_valid)
+    f = np.asarray(mesh.faces)[fv]
+    used = np.unique(f.reshape(-1))
+    zs = v[used, 2]
+    np.testing.assert_allclose(zs, plane_z, atol=2e-3)
