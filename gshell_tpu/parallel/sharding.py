@@ -75,3 +75,34 @@ def fsdp_sharding(mesh: Mesh, params, axis_name: str = "data", min_size: int = 2
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     sh = data_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) layout
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_multislice(
+    n_slices: int,
+    devices_per_slice: Optional[int] = None,
+    axis_names: tuple = ("dcn", "data"),
+) -> Mesh:
+    """2-axis mesh for multi-slice training: leading ``dcn`` axis across
+    slices (data-center network), trailing ``data`` axis within a slice
+    (ICI).  The mesh-major ordering matters: ``jax.devices()`` enumerates
+    devices slice-contiguously under ``jax.distributed.initialize``, so rows
+    of the device array align with physical slices and XLA's hierarchical
+    collectives reduce over ICI first, DCN once per slice.
+
+    Pure-DP batches shard over BOTH axes (:func:`multislice_data_sharding`);
+    FSDP parameter sharding stays within the ``data`` (ICI) axis —
+    cross-slice parameter gathers over DCN would dominate step time."""
+    devs = jax.devices()
+    per = devices_per_slice or len(devs) // n_slices
+    arr = np.asarray(devs[: n_slices * per]).reshape(n_slices, per)
+    return Mesh(arr, axis_names)
+
+
+def multislice_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch sharding over the combined (dcn × data) device grid."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))

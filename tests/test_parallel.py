@@ -53,3 +53,96 @@ def test_fsdp_sharding_layout():
     # placing works
     placed = jax.device_put(params["big"], shardings["big"])
     assert placed.sharding.num_devices == 8
+
+
+def test_multislice_diffusion_step():
+    """2 slices × 4 chips (DCN × ICI mesh): one diffusion train step with the
+    batch sharded over the combined grid; grads psum hierarchically."""
+    import jax
+    import jax.numpy as jnp
+
+    from gshell_tpu.models.unet3d import UNet3DConfig
+    from gshell_tpu.parallel.sharding import (
+        make_mesh_multislice,
+        multislice_data_sharding,
+    )
+    from gshell_tpu.train.diffusion import DiffusionTrainConfig, DiffusionTrainer
+
+    mesh = make_mesh_multislice(2, 4)
+    assert mesh.shape == {"dcn": 2, "data": 4}
+    d = 8
+    unet_cfg = UNet3DConfig(
+        data_ch=2, base_channels=8, ch_mult=(1, 2),
+        down_block_types=("ResBlock", "AttnResBlock"),
+        up_block_types=("AttnResBlock", "ResBlock"),
+        num_res_blocks=1, num_res_blocks_1st_layer=1, dropout=0.0,
+    )
+    cfg = DiffusionTrainConfig(
+        grid_size=d, data_ch=2, use_occ=True, num_grad_acc_steps=2, warmup=10
+    )
+    trainer = DiffusionTrainer(cfg, unet_cfg=unet_cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    a, b = 2, 8  # grad-accum × global batch (sharded over 2×4 devices)
+    sh = multislice_data_sharding(mesh)
+    batch = {
+        "grid": jax.device_put(jnp.ones((a, b, d, d, d, 2)) * 0.1,
+                               jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, ("dcn", "data")))),
+        "occgrid": jax.device_put(jnp.ones((a, b, 2 * d, 2 * d, 2 * d, 1)) * 0.1,
+                                  jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, ("dcn", "data")))),
+    }
+    del sh
+    state, metrics = trainer.train_step(state, jax.random.PRNGKey(1), batch)
+    assert jnp.isfinite(float(metrics["loss"]))
+
+
+def test_preemption_kill_resume(tmp_path):
+    """Preemption semantics (SURVEY §5.3): train → meta-checkpoint →
+    'process death' (fresh trainer + fresh init) → restore → the restored
+    state continues from the checkpointed step with identical params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gshell_tpu.models.unet3d import UNet3DConfig
+    from gshell_tpu.train.diffusion import DiffusionTrainConfig, DiffusionTrainer
+
+    d = 8
+    unet_cfg = UNet3DConfig(
+        data_ch=2, base_channels=8, ch_mult=(1, 2),
+        down_block_types=("ResBlock", "AttnResBlock"),
+        up_block_types=("AttnResBlock", "ResBlock"),
+        num_res_blocks=1, num_res_blocks_1st_layer=1, dropout=0.0,
+    )
+    cfg = DiffusionTrainConfig(
+        grid_size=d, data_ch=2, use_occ=True, num_grad_acc_steps=1, warmup=10
+    )
+    batch = {
+        "grid": jnp.ones((1, 2, d, d, d, 2)) * 0.1,
+        "occgrid": jnp.ones((1, 2, 2 * d, 2 * d, 2 * d, 1)) * 0.1,
+    }
+    ckpt = str(tmp_path / "checkpoints-meta")
+
+    trainer = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    for i in range(2):
+        state, _ = trainer.train_step(state, jax.random.PRNGKey(10 + i), batch)
+    trainer.save_checkpoint(ckpt, state)
+    # one more (lost) step after the snapshot — "killed" before next save
+    state_lost, _ = trainer.train_step(state, jax.random.PRNGKey(99), batch)
+
+    # fresh process: new trainer, fresh init, graceful restore
+    trainer2 = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    state2 = trainer2.init_state(jax.random.PRNGKey(1))  # different init
+    state2 = trainer2.restore_checkpoint(ckpt, state2)
+    assert int(state2.step) == 2
+    l0 = jax.tree_util.tree_leaves(state.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l0, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # resumed training proceeds
+    state2, m = trainer2.train_step(state2, jax.random.PRNGKey(99), batch)
+    assert int(state2.step) == 3 and jnp.isfinite(float(m["loss"]))
+    # graceful no-checkpoint path returns state unchanged
+    state3 = trainer2.restore_checkpoint(str(tmp_path / "missing"), state2)
+    assert state3 is state2
