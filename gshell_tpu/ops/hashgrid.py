@@ -13,6 +13,7 @@ TPU.  The reference's ÷128 gradient-scaling hook on the encoder
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -81,6 +82,82 @@ def _corner_index(ix: jax.Array, iy: jax.Array, iz: jax.Array, res: int, table_s
     return jnp.abs(h) % table_size
 
 
+def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig):
+    """Forward encode + analytic position-Jacobian, one fused gather.
+
+    Returns (out (P, L·F), jac (P, L·F, 3)) where jac[k] = ∂out_k/∂x — the
+    per-level trilinear weight derivatives contracted against the gathered
+    features DURING the forward, so a backward w.r.t. x never re-gathers
+    (XLA otherwise rematerializes the 67M-element gather in the transpose —
+    measured as expensive as the forward itself)."""
+    p = x.shape[0]
+    L = cfg.n_levels
+    T = cfg.table_size
+    F = cfg.n_features
+
+    idx_all, wgt_all, dw_all = [], [], []
+    for level, res in enumerate(cfg.level_resolutions()):
+        xs = x * res
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
+        t = xs - x0.astype(xs.dtype)
+        f = [None, None, None]
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    idx = _corner_index(
+                        x0[:, 0] + cx, x0[:, 1] + cy, x0[:, 2] + cz, res, T
+                    )
+                    idx_all.append(idx + level * T)
+                    fx = t[:, 0] if cx else 1.0 - t[:, 0]
+                    fy = t[:, 1] if cy else 1.0 - t[:, 1]
+                    fz = t[:, 2] if cz else 1.0 - t[:, 2]
+                    sx = 1.0 if cx else -1.0
+                    sy = 1.0 if cy else -1.0
+                    sz = 1.0 if cz else -1.0
+                    wgt_all.append(fx * fy * fz)
+                    dw_all.append(
+                        jnp.stack(
+                            [sx * fy * fz, fx * sy * fz, fx * fy * sz], axis=-1
+                        )
+                        * res
+                    )
+    idx = jnp.stack(idx_all, axis=1)  # (P, 8L)
+    wgt = jnp.stack(wgt_all, axis=1)  # (P, 8L)
+    dw = jnp.stack(dw_all, axis=1)  # (P, 8L, 3)
+    flat = params.tables.reshape(L * T, F)
+    feats = flat[idx]  # (P, 8L, F)
+    f4 = feats.reshape(p, L, 8, F)
+    out = (f4 * wgt.reshape(p, L, 8, 1)).sum(axis=2).reshape(p, L * F)
+    jac = jnp.einsum(
+        "plcf,plcd->plfd", f4, dw.reshape(p, L, 8, 3)
+    ).reshape(p, L * F, 3)
+    return out, jac
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def hashgrid_encode_x_grads(params: HashGridParams, x: jax.Array, cfg: HashGridConfig):
+    """:func:`hashgrid_encode` variant whose gradient flows ONLY to ``x``
+    (tables treated as constants), with a gather-free backward.  Used as the
+    exact-forward path of :func:`hashgrid_encode_stochastic`."""
+    out, _ = _encode_with_xjac(params, x, cfg)
+    return out
+
+
+def _hg_x_fwd(params, x, cfg):
+    out, jac = _encode_with_xjac(params, x, cfg)
+    return out, (jac, params)
+
+
+def _hg_x_bwd(cfg, res, g):
+    jac, params = res
+    dx = jnp.einsum("pk,pkd->pd", g, jac)
+    dt = jax.tree_util.tree_map(jnp.zeros_like, params)  # tables: constants
+    return dt, dx
+
+
+hashgrid_encode_x_grads.defvjp(_hg_x_fwd, _hg_x_bwd)
+
+
 def hashgrid_encode(params: HashGridParams, x: jax.Array, cfg: HashGridConfig) -> jax.Array:
     """Encode points x ∈ [0,1]^(...,3) → (..., L*F) features.
 
@@ -144,10 +221,10 @@ def hashgrid_encode_stochastic(
     shp = x.shape[:-1]
     xf = x.reshape(-1, 3)
     p = xf.shape[0]
-    # exact-forward path; tables stop-gradiented → its backward carries
-    # only the cheap x-gradients
-    sg_tables = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
-    full = hashgrid_encode(sg_tables, xf, cfg)
+    # exact-forward path carrying ONLY x-gradients, via the custom-VJP
+    # encode whose backward contracts a forward-saved position-Jacobian
+    # instead of re-gathering the tables
+    full = hashgrid_encode_x_grads(params, xf, cfg)
     n_sub = max(int(p * frac), 1)
     sel = jax.random.randint(key, (n_sub,), 0, p)
     sub = hashgrid_encode(params, jax.lax.stop_gradient(xf[sel]), cfg)

@@ -60,3 +60,22 @@ def test_table_grads_unbiased():
     # Monte-Carlo mean within a few std-errs of the exact gradient
     err = np.abs(mean - exact).max() / denom
     assert err < 0.25, err
+
+
+def test_x_jacobian_matches_autodiff():
+    """Custom-VJP x-gradients == autodiff of the plain encode."""
+    cfg, params, x = setup()
+    from gshell_tpu.ops.hashgrid import hashgrid_encode_x_grads
+
+    def loss_auto(x_):
+        return (hashgrid_encode(params, x_, cfg) * jnp.arange(cfg.out_dim)).sum()
+
+    def loss_custom(x_):
+        return (hashgrid_encode_x_grads(params, x_, cfg) * jnp.arange(cfg.out_dim)).sum()
+
+    f_a = loss_auto(x)
+    f_c = loss_custom(x)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_c), rtol=1e-5)
+    g_a = jax.grad(loss_auto)(x)
+    g_c = jax.grad(loss_custom)(x)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_c), rtol=1e-4, atol=1e-6)
