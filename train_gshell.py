@@ -179,6 +179,12 @@ def main():
 
     _save_mesh(geo, state, flags.out_dir, flags.iter)
     _save_state(state, flags.out_dir)
+    # final light probe (ref train_gshelltet_deepfashion.py:694 probe.hdr)
+    from gshell_tpu.utils.image import save_image as _save_img
+
+    _save_img(
+        os.path.join(flags.out_dir, "probe.hdr"), np.asarray(state.light_base)
+    )
     if args.bake_texture:
         _bake_texture(geo, state, mat_cfg, flags.out_dir, args.bake_texture)
     print("done.")
