@@ -6,6 +6,8 @@ Modes (ref main_diffusion.py:13-27):
   train            — DDPM training with grad accumulation + EMA + checkpoints
   uncond_gen       — unconditional sampling (PC or DDIM) → saved grids
   uncond_gen_interp— slerp interpolation between prior noises
+  cond_gen         — partial-shape inpainting from --cond-file (grid +
+                     cond_mask; ref evaler.py:183-263)
 """
 from __future__ import annotations
 
@@ -25,7 +27,13 @@ def main():
 
     enable_compilation_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["train", "uncond_gen", "uncond_gen_interp"], required=True)
+    p.add_argument(
+        "--mode",
+        choices=["train", "uncond_gen", "uncond_gen_interp", "cond_gen"],
+        required=True,
+    )
+    p.add_argument("--cond-file", type=str, default=None,
+                   help="cond_gen: .npz with 'grid' (known values) + 'cond_mask'")
     p.add_argument("--workdir", type=str, default="out/diffusion")
     p.add_argument("--data-glob", type=str, default=None, help="glob of .npz baked grids")
     p.add_argument("--grid-size", type=int, default=128)
@@ -109,6 +117,27 @@ def main():
 
         shape = (1, d, d, d, args.data_ch)
         occ_shape = (1, 2 * d, 2 * d, 2 * d, 1)
+        if args.mode == "cond_gen":
+            from gshell_tpu.models.evaler import cond_gen as _cond_gen
+
+            assert args.cond_file, "--cond-file required for cond_gen"
+            z = np.load(args.cond_file)
+            condition = jnp.asarray(z["grid"]).reshape(shape)
+            cond_mask = jnp.asarray(z["cond_mask"], jnp.float32).reshape(
+                (1, d, d, d, -1)
+            )
+            for i in range(args.n_samples):
+                key, k = jax.random.split(key)
+                x = _cond_gen(
+                    trainer.sde, eps_fn, condition, cond_mask, k, shape,
+                    feature_mask=feature_mask,
+                )
+                np.savez_compressed(
+                    os.path.join(args.workdir, f"cond_sample_{i:04d}.npz"),
+                    grid=np.asarray(x[0]),
+                )
+                print(f"cond sample {i} saved", flush=True)
+            return
         if args.sampling_method == "ddim":
             sampler = get_ddim_sampler(
                 trainer.sde, eps_fn, shape, occ_shape, n_steps=args.n_sampling_steps
