@@ -30,18 +30,26 @@ def main():
     from gshell_tpu.geometry.generative_decode import GenerativeCodec
     from gshell_tpu.geometry.geometry import GeometryConfig, GShellGeometry
 
-    gcfg = GeometryConfig(grid_res=args.grid_res, scale=args.scale)
-    geo = GShellGeometry(gcfg)
-    codec = GenerativeCodec(geo.extractor)
-    bake = jax.jit(
-        lambda pos, sdf, msdf, deform: codec.bake(pos, sdf, msdf, deform)
-    )
-
     os.makedirs(args.out_dir, exist_ok=True)
+    geo = codec = bake = None
     for path in sorted(glob.glob(args.states)):
         with open(path, "rb") as f:
             state = pickle.load(f)
         params = state.params_geo if hasattr(state, "params_geo") else state["params_geo"]
+        if geo is None:
+            # infer the field parameterization from the fitted state
+            gcfg = GeometryConfig(
+                grid_res=args.grid_res,
+                scale=args.scale,
+                use_sdf_mlp="sdf_net" in params,
+                use_msdf_mlp="msdf_net" in params,
+            )
+            geo = GShellGeometry(gcfg)
+            codec = GenerativeCodec(geo.extractor)
+            bake = jax.jit(
+                lambda pos, sdf, msdf, deform: codec.bake(pos, sdf, msdf, deform)
+            )
+        params = jax.tree_util.tree_map(jnp.asarray, params)
         v_def, sdf, msdf = geo.fields(params)
         baked = bake(v_def, sdf, msdf, jnp.asarray(params["deform"]))
         name = os.path.basename(os.path.dirname(path)) or "shape"

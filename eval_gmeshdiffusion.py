@@ -82,11 +82,15 @@ def main():
 
         deform = fg[vc[:, 0], vc[:, 1], vc[:, 2], 1:4]
         pos = np.asarray(base_verts) + max_disp * np.clip(deform, -1, 1)
+        # BakedGrids carries the reference-shaped (2R)³/(4R)³ crop; decode
+        # zero-pads the outermost plane back itself
+        fg_c = fg[: d1 - 1, : d1 - 1, : d1 - 1]
+        og_c = og[: d2 - 1, : d2 - 1, : d2 - 1]
         baked = BakedGrids(
-            grid=jnp.asarray(fg),
-            occgrid=jnp.asarray(og),
-            feature_mask=jnp.ones_like(jnp.asarray(fg)),
-            occ_mask=jnp.ones_like(jnp.asarray(og)),
+            grid=jnp.asarray(fg_c),
+            occgrid=jnp.asarray(og_c),
+            feature_mask=jnp.ones_like(jnp.asarray(fg_c)),
+            occ_mask=jnp.ones_like(jnp.asarray(og_c)),
         )
         mesh = decode(jnp.asarray(pos), baked)
         v = np.asarray(mesh.verts)

@@ -37,9 +37,16 @@ from .tet_grid import TetGrid
 
 
 class BakedGrids(NamedTuple):
-    grid: jax.Array  # (D, D+1?, ...) → (D1, D1, D1, 4), D1 = 2R+1
-    occgrid: jax.Array  # (2·(2R)+1,)³ boundary-cut coefficients in [-1, 1]
-    feature_mask: jax.Array  # (D1, D1, D1, 4) valid-site mask
+    """Dense cubic training grids, matching the reference's shapes: the
+    feature grid side is exactly 2R (128 for tet res 64,
+    ``tet_to_cubic_grid_dataset.py:92-243``) and the occ grid 4R (256³) —
+    the outermost site plane (coordinate 2R / 4R) is cropped; centered
+    shapes never touch it, and :meth:`GenerativeCodec.decode` zero-pads it
+    back (sign 0 ≡ outside)."""
+
+    grid: jax.Array  # (2R, 2R, 2R, 4) sdf-sign/coeff + deform/msdf channels
+    occgrid: jax.Array  # (4R,)³ boundary-cut coefficients in [-1, 1]
+    feature_mask: jax.Array  # (2R, 2R, 2R, 4) valid-site mask
     occ_mask: jax.Array  # occgrid valid-site mask
 
 
@@ -107,7 +114,14 @@ class GenerativeCodec:
         # cut coefficients exactly as the extractor does, then scatter at the
         # inscribed-edge midpoint with canonical endpoint order (ref :179-226).
         occ, omask = self._bake_occ(pos, sdf, msdf)
-        return BakedGrids(grid=feat, occgrid=occ, feature_mask=fmask, occ_mask=omask)
+        # crop the outermost site plane → even, reference-shaped grids
+        c1, c2 = self.d1 - 1, self.d2 - 1
+        return BakedGrids(
+            grid=feat[:c1, :c1, :c1],
+            occgrid=occ[:c2, :c2, :c2],
+            feature_mask=fmask[:c1, :c1, :c1],
+            occ_mask=omask[:c2, :c2, :c2],
+        )
 
     def _bake_occ(self, pos, sdf, msdf):
         ex = self.ex
@@ -155,14 +169,17 @@ class GenerativeCodec:
         ``pos``: lattice positions (typically verts + max_disp·deform read
         from the baked grid's deform channels)."""
         ex = self.ex
-        sdf_sign = baked.grid[
+        # zero-pad the cropped outermost plane back (sign 0 ≡ outside)
+        grid = jnp.pad(baked.grid, ((0, 1), (0, 1), (0, 1), (0, 0)))
+        occgrid = jnp.pad(baked.occgrid, ((0, 1), (0, 1), (0, 1)))
+        sdf_sign = grid[
             self.vert_coords[:, 0], self.vert_coords[:, 1], self.vert_coords[:, 2], 0
         ]
         mc = self.edge_mid_coords
-        coeff = baked.grid[mc[:, 0], mc[:, 1], mc[:, 2], 0] * 0.5 + 0.5
-        msdf_mid_sign = baked.grid[mc[:, 0], mc[:, 1], mc[:, 2], 1]
+        coeff = grid[mc[:, 0], mc[:, 1], mc[:, 2], 0] * 0.5 + 0.5
+        msdf_mid_sign = grid[mc[:, 0], mc[:, 1], mc[:, 2], 1]
         return _marching_from_grids(
-            ex, pos, sdf_sign, coeff, msdf_mid_sign, baked.occgrid, self.edge_mid_coords
+            ex, pos, sdf_sign, coeff, msdf_mid_sign, occgrid, self.edge_mid_coords
         )
 
 

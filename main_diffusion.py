@@ -50,6 +50,10 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--mask-file", type=str, default=None,
                    help=".npz with feature_mask/occ_mask (as baked by bake_grids.py)")
+    # model-size overrides (defaults = reference config_*_occgrid)
+    p.add_argument("--base-channels", type=int, default=None)
+    p.add_argument("--ch-mult", type=str, default=None,
+                   help="comma-separated, e.g. 1,2,2,4,4,4")
     args = p.parse_args()
 
     from gshell_tpu.train.diffusion import DiffusionTrainConfig, DiffusionTrainer
@@ -70,7 +74,23 @@ def main():
         lr=args.lr,
         snapshot_freq=args.snapshot_freq,
     )
-    trainer = DiffusionTrainer(cfg, feature_mask=feature_mask, occ_mask=occ_mask)
+    unet_cfg = None
+    if args.base_channels or args.ch_mult:
+        from gshell_tpu.models.unet3d import UNet3DConfig
+
+        mult = tuple(int(v) for v in (args.ch_mult or "1,2,2,4,4,4").split(","))
+        n = len(mult)
+        unet_cfg = UNet3DConfig(
+            data_ch=args.data_ch,
+            use_occ=True,
+            base_channels=args.base_channels or 128,
+            ch_mult=mult,
+            down_block_types=("ResBlock",) * (n - 1) + ("AttnResBlock",),
+            up_block_types=("AttnResBlock",) + ("ResBlock",) * (n - 1),
+        )
+    trainer = DiffusionTrainer(
+        cfg, unet_cfg=unet_cfg, feature_mask=feature_mask, occ_mask=occ_mask
+    )
     key = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(key)
     ckpt_meta = os.path.join(args.workdir, "checkpoints-meta")

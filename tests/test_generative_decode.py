@@ -50,7 +50,10 @@ def test_masks_cover_sites(setup):
     codec, ex, pos, sdf, msdf = setup
     baked = codec.bake(pos, sdf, msdf, jnp.zeros_like(pos))
     fm = np.asarray(baked.feature_mask)
-    # every lattice vertex site is marked
+    # every lattice vertex site inside the (2R)³ crop is marked (the
+    # outermost site plane is cropped to the reference's even grid shape)
     vc = np.asarray(codec.vert_coords)
-    assert (fm[vc[:, 0], vc[:, 1], vc[:, 2], 0] == 1).all()
+    inb = (vc < fm.shape[0]).all(axis=1)
+    assert inb.sum() > 0
+    assert (fm[vc[inb, 0], vc[inb, 1], vc[inb, 2], 0] == 1).all()
     assert np.asarray(baked.occ_mask).sum() > 0
