@@ -42,11 +42,10 @@ def main():
     # point) runs directly.
     import subprocess
 
+    # The reference working point (512²/spp8/b2) fits and completes under
+    # the dev-tunnel watchdog since the round-2 optimizations (per-view
+    # remat + padded-layout fixes); lower rungs remain as fallbacks.
     ladder = [(512, 64, 8, 2), (512, 64, 8, 1), (512, 64, 4, 1), (256, 64, 4, 1)]
-    if os.environ.get("PALLAS_AXON_TPU_GEN"):
-        # dev tunnel: the b2 rung exceeds the per-call watchdog — skip straight
-        # to the largest configuration known to fit
-        ladder = ladder[1:]
     for cfg in ladder:
         arg = ",".join(str(v) for v in cfg)
         proc = subprocess.run(

@@ -228,8 +228,14 @@ class GShellGeometry:
         # Sequential over views (lax.map, not vmap): a single 512² view
         # already saturates the chip, and sequencing halves peak HBM — the
         # reference renders its batch as one big raster launch per view too.
+        # With >1 view, rematerialize each view's render in the backward
+        # (jax.checkpoint): otherwise the map keeps EVERY view's G-buffer /
+        # shade residuals live simultaneously — 512²/spp8/b2 exceeds HBM.
+        render_fn = lambda args: render_one(*args)
+        if target["mvp"].shape[0] > 1:
+            render_fn = jax.checkpoint(render_fn)
         buffers = jax.lax.map(
-            lambda args: render_one(*args),
+            render_fn,
             (k_render, target["mvp"], target["campos"], target["background"]),
         )
 

@@ -128,9 +128,17 @@ def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig)
     feats = flat[idx]  # (P, 8L, F)
     f4 = feats.reshape(p, L, 8, F)
     out = (f4 * wgt.reshape(p, L, 8, 1)).sum(axis=2).reshape(p, L * F)
-    jac = jnp.einsum(
-        "plcf,plcd->plfd", f4, dw.reshape(p, L, 8, 3)
-    ).reshape(p, L * F, 3)
+    # Jacobian packed as (P, 3·L·F) — NEVER (P, L·F, 3): a trailing dim of
+    # 3 is lane-padded 128/3 ≈ 43× by XLA TPU layout (4 GB for a 91 MB
+    # residual at 512²; this OOMed the spp-8 step)
+    dw4 = dw.reshape(p, L, 8, 3)
+    jac = jnp.concatenate(
+        [
+            jnp.einsum("plcf,plc->plf", f4, dw4[..., d]).reshape(p, L * F)
+            for d in range(3)
+        ],
+        axis=1,
+    )  # (P, 3·L·F), dim-major
     return out, jac
 
 
@@ -149,8 +157,12 @@ def _hg_x_fwd(params, x, cfg):
 
 
 def _hg_x_bwd(cfg, res, g):
-    jac, params = res
-    dx = jnp.einsum("pk,pkd->pd", g, jac)
+    jac, params = res  # jac: (P, 3·L·F) dim-major
+    k = cfg.out_dim
+    dx = jnp.stack(
+        [(g * jac[:, d * k : (d + 1) * k]).sum(axis=1) for d in range(3)],
+        axis=-1,
+    )
     dt = jax.tree_util.tree_map(jnp.zeros_like, params)  # tables: constants
     return dt, dx
 
