@@ -116,7 +116,10 @@ class DiffusionTrainer:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
     # ---------------- train step ----------------
-    @partial(jax.jit, static_argnums=(0,))
+    # state is DONATED: params+moments+EMA of the reference-size UNet are
+    # 6.6 GB f32 — without donation old and new state coexist and the
+    # 411M-param model cannot step on one 16 GB chip.
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
     def train_step(self, state: DiffusionTrainState, key: jax.Array, batch: dict):
         """batch: {'grid': (A, B, D, D, D, C), 'occgrid': (A, B, ...)} with A =
         num_grad_acc_steps microbatches, each sharded over the data axis.

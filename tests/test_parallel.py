@@ -128,7 +128,9 @@ def test_preemption_kill_resume(tmp_path):
     for i in range(2):
         state, _ = trainer.train_step(state, jax.random.PRNGKey(10 + i), batch)
     trainer.save_checkpoint(ckpt, state)
+    params_saved = jax.tree_util.tree_map(np.asarray, state.params)
     # one more (lost) step after the snapshot — "killed" before next save
+    # (train_step DONATES state; read through params_saved from here on)
     state_lost, _ = trainer.train_step(state, jax.random.PRNGKey(99), batch)
 
     # fresh process: new trainer, fresh init, graceful restore
@@ -136,7 +138,7 @@ def test_preemption_kill_resume(tmp_path):
     state2 = trainer2.init_state(jax.random.PRNGKey(1))  # different init
     state2 = trainer2.restore_checkpoint(ckpt, state2)
     assert int(state2.step) == 2
-    l0 = jax.tree_util.tree_leaves(state.params)
+    l0 = jax.tree_util.tree_leaves(params_saved)
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l0, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

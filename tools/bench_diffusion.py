@@ -21,9 +21,14 @@ def main():
 
     d = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    from gshell_tpu.models.unet3d import UNet3DConfig
+
     cfg = DiffusionTrainConfig(grid_size=d, data_ch=4, use_occ=True,
                                num_grad_acc_steps=1, warmup=10)
-    trainer = DiffusionTrainer(cfg)
+    # single-chip memory policy: ResBlock remat + bf16 compute (params f32)
+    unet_cfg = UNet3DConfig(data_ch=4, use_occ=True, remat=True,
+                            compute_dtype="bfloat16")
+    trainer = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"UNet3D params: {n_params/1e6:.1f}M  grid {d}^3 occ {2*d}^3 batch {b}")
