@@ -85,6 +85,10 @@ class PosedImageDataset:
         self.campos: np.ndarray = None  # (N, 3)
         self.imgs: np.ndarray = None  # (N, H, W, 4) premultiplied alpha
         self.resolution = None
+        # optional depth / second-layer supervision (ref dataset_mesh.py:110-124)
+        self.invdepths: np.ndarray | None = None  # (N, H, W, 1)
+        self.imgs_second: np.ndarray | None = None  # (N, H, W, 4)
+        self.invdepths_second: np.ndarray | None = None  # (N, H, W, 1)
 
     def __len__(self):
         return self.mvp.shape[0]
@@ -103,12 +107,21 @@ class PosedImageDataset:
         else:
             bg = np.zeros((len(idx), h, w, 3), dtype=np.float32)
         img[..., 0:3] = img[..., 0:3] + bg * (1.0 - img[..., 3:])
-        return {
+        out = {
             "mvp": jnp.asarray(self.mvp[idx]),
             "campos": jnp.asarray(self.campos[idx]),
             "img": jnp.asarray(img),
             "background": jnp.asarray(bg),
         }
+        # optional supervision channels (reference passes img_second/invdepth
+        # through prepare_batch untouched, train_gshelltet_synthetic.py:70-93)
+        if self.invdepths is not None:
+            out["invdepth"] = jnp.asarray(self.invdepths[idx])
+        if self.imgs_second is not None:
+            out["img_second"] = jnp.asarray(self.imgs_second[idx])
+        if self.invdepths_second is not None:
+            out["invdepth_second"] = jnp.asarray(self.invdepths_second[idx])
+        return out
 
     def iterate(self, batch_size: int, steps: int, background="random", seed=0) -> Iterator[dict]:
         rng = np.random.default_rng(seed)
@@ -350,22 +363,34 @@ class DatasetMesh(PosedImageDataset):
     Used for the synthetic-reconstruction config and for tests."""
 
     def __init__(self, mesh, light, mat_params, mat_cfg, flags, n_views: int = 64,
-                 cam_radius: float = 3.0, fovy_deg: float = 45.0, seed: int = 0):
+                 cam_radius: float = 3.0, fovy_deg: float = 45.0, seed: int = 0,
+                 layers: int = 1):
+        """``layers`` mirrors reference FLAGS.layers: with layers > 1 the
+        dataset also emits 'img_second'/'invdepth_second' supervision
+        (ref dataset_mesh.py:110-124 returns shaded_second/invdepth buffers)."""
         super().__init__()
-        from ..render.render import render_mesh
+        from ..render.render import render_mesh, render_second_layer
 
         rng = np.random.default_rng(seed)
         h, w = flags.resolution
         mvps, camposs, imgs = [], [], []
+        invdepths, imgs2, invdepths2 = [], [], []
 
         @jax.jit
         def render_view(key, mvp, campos):
             nrm = mesh.v_nrm if mesh.v_nrm is not None else None
-            return render_mesh(
+            buf = render_mesh(
                 key, mesh.v_pos, mesh.t_pos_idx, nrm, None,
                 mat_params, mat_cfg, mvp, campos, light, flags,
                 shadow_scale=0.0,
             )
+            if layers > 1:
+                buf.update(render_second_layer(
+                    key, mesh.v_pos, mesh.t_pos_idx,
+                    mesh.v_nrm, mat_params, mat_cfg, mvp, campos, light,
+                    flags, shadow_scale=0.0,
+                ))
+            return buf
 
         proj = gmath.perspective(np.deg2rad(fovy_deg), w / h, 0.1, 1000.0)
         for i in range(n_views):
@@ -381,7 +406,17 @@ class DatasetMesh(PosedImageDataset):
             mvps.append(np.asarray(mvp))
             camposs.append(np.asarray(eye))
             imgs.append(img)
+            invdepths.append(np.asarray(buf["invdepth"][..., 0:1]))
+            if layers > 1:
+                img2 = np.array(buf["shaded_second"])
+                img2[..., 0:3] *= img2[..., 3:]
+                imgs2.append(img2)
+                invdepths2.append(np.asarray(buf["invdepth_second"][..., 0:1]))
         self.mvp = np.stack(mvps)
         self.campos = np.stack(camposs)
         self.imgs = np.stack(imgs)
+        self.invdepths = np.stack(invdepths)
+        if layers > 1:
+            self.imgs_second = np.stack(imgs2)
+            self.invdepths_second = np.stack(invdepths2)
         self.resolution = flags.resolution

@@ -135,16 +135,36 @@ class GShellFlexiGeometry:
             mesh.faces, mesh.face_valid, cap=4 * self.extractor.max_edges
         )
 
-        keys = jax.random.split(key, target["mvp"].shape[0])
-        render_one = lambda k, mvp, campos, bg: render_mesh(
-            k, mesh.verts, faces_c, mesh.v_nrm, mesh.msdf,
-            mat_params, mat_cfg, mvp, campos, light, flags,
-            background=bg, visibility_fn=visibility_fn,
-            shadow_scale=shadow_scale, denoiser_sigma=denoiser_sigma,
-        )
+        keys = jax.random.split(key, target["mvp"].shape[0] + 1)
+        k_render, k_eik = keys[:-1], keys[-1]
+        second = cfg.use_img_2nd_layer or cfg.use_depth_2nd_layer
+
+        def render_one(k, mvp, campos, bg):
+            buffers = render_mesh(
+                k, mesh.verts, faces_c, mesh.v_nrm, mesh.msdf,
+                mat_params, mat_cfg, mvp, campos, light, flags,
+                background=bg, visibility_fn=visibility_fn,
+                shadow_scale=shadow_scale, denoiser_sigma=denoiser_sigma,
+            )
+            if second:
+                from ..render.render import render_second_layer
+
+                buffers.update(
+                    render_second_layer(
+                        k, mesh.verts, faces_c, mesh.v_nrm,
+                        mat_params, mat_cfg, mvp, campos, light, flags,
+                        background=bg, shadow_scale=shadow_scale,
+                        visibility_fn=visibility_fn,
+                    )
+                )
+            return buffers
+
+        render_fn = lambda args: render_one(*args)
+        if target["mvp"].shape[0] > 1:
+            render_fn = jax.checkpoint(render_fn)
         buffers = jax.lax.map(
-            lambda args: render_one(*args),
-            (keys, target["mvp"], target["campos"], target["background"]),
+            render_fn,
+            (k_render, target["mvp"], target["campos"], target["background"]),
         )
 
         color_ref = target["img"]
@@ -158,6 +178,58 @@ class GShellFlexiGeometry:
         img_loss += 5e-1 * jnp.mean(
             jnp.abs(jnp.clip(msdf_img, max=0.0) * (gt_mask == 1) - 1.0)
         )
+
+        # Second-layer image loss (ref gshell_flexicubes_geometry.py:266-270)
+        if cfg.use_img_2nd_layer and "img_second" in target:
+            ref2 = target["img_second"]
+            sh2 = buffers["shaded_second"]
+            img_loss += jnp.mean((sh2[..., 3:] - ref2[..., 3:]) ** 2)
+            img_loss += image_loss_fn(
+                sh2[..., 0:3] * ref2[..., 3:], ref2[..., 0:3] * ref2[..., 3:]
+            )
+
+        # Depth losses (ref :272-279, scale 100 / 0.1×100)
+        depth_loss = jnp.asarray(0.0)
+        if cfg.use_depth and "invdepth" in target:
+            depth_loss += 100.0 * jnp.mean(
+                jnp.abs(buffers["invdepth"][..., 0:1] - target["invdepth"][..., 0:1])
+            )
+            if cfg.use_depth_2nd_layer and "invdepth_second" in target:
+                depth_loss += 10.0 * jnp.mean(
+                    jnp.abs(
+                        buffers["invdepth_second"][..., 0:1]
+                        - target["invdepth_second"][..., 0:1]
+                    )
+                )
+
+        # Eikonal on surface samples (ref gshell_flexicubes_geometry.py:284-300)
+        if cfg.use_sdf_mlp and cfg.use_eikonal:
+            from ..ops.mesh_ops import sample_surface
+            from .mlp import apply_mlp as _apply_mlp
+
+            pts = sample_surface(
+                k_eik,
+                jax.lax.stop_gradient(mesh.verts),
+                faces_c,
+                cfg.n_eikonal_samples,
+                face_mask=fvalid_c,
+            )
+            if cfg.eikonal_scale is None:
+                eik_coeff = jnp.where(
+                    iteration < 500, 3e-1, jnp.where(iteration < 2000, 1e-1, 1e-2)
+                )
+            else:
+                eik_coeff = cfg.eikonal_scale
+
+            def sdf_at(p):
+                return _apply_mlp(params["sdf_net"], p[None], cfg.mlp)[0, 0]
+
+            grads = jax.vmap(jax.grad(sdf_at))(pts)
+            eik_loss = eik_coeff * jnp.mean(
+                (jnp.sqrt(jnp.clip(jnp.sum(grads**2, -1), min=1e-12)) - 1.0) ** 2
+            )
+        else:
+            eik_loss = 0.0
 
         # mSDF open/close regularizers (shared with tets path)
         mesh_msdf_regscale = (64.0 / cfg.grid_res) ** 3
@@ -201,13 +273,14 @@ class GShellFlexiGeometry:
         shading_reg += reg.chroma_loss(buffers["kd"], color_ref, cfg.lambda_chroma)
 
         l_dev_loss = cfg.l_dev_weight * mesh.l_dev
-        reg_loss = sdf_reg + msdf_reg + shading_reg + l_dev_loss
+        reg_loss = sdf_reg + eik_loss + msdf_reg + shading_reg + l_dev_loss
         aux = {
             "n_surf_cubes": mesh.n_surf_cubes,
             "n_faces": n_faces,
             "l_dev": mesh.l_dev,
             "sdf_reg": sdf_reg,
+            "eik_loss": eik_loss,
             "msdf_reg": msdf_reg,
             "shading_reg": shading_reg,
         }
-        return img_loss, reg_loss, aux
+        return img_loss, depth_loss, reg_loss, aux

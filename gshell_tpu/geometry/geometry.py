@@ -56,6 +56,13 @@ class GeometryConfig:
     lambda_specular: float = 0.0025
     use_eikonal: bool = True
     n_eikonal_samples: int = 50000
+    # depth / second-layer supervision (ref FLAGS use_depth /
+    # use_img_2nd_layer / use_depth_2nd_layer, defaults False,
+    # train_gshelltet_deepfashion.py:577-579; losses at
+    # gshell_tets_geometry.py:287-299)
+    use_depth: bool = False
+    use_img_2nd_layer: bool = False
+    use_depth_2nd_layer: bool = False
     total_iters: int = 5000
     # extraction capacities (None → default O(res²) budget)
     max_tets: Optional[int] = None
@@ -183,10 +190,12 @@ class GShellGeometry:
         shadow_scale=1.0,
         denoiser_sigma=2.0,
     ):
-        """One training evaluation → (img_loss, reg_loss, aux).
+        """One training evaluation → (img_loss, depth_loss, reg_loss, aux).
 
         ``target``: dict with 'mvp' (B,4,4), 'campos' (B,3), 'img' (B,H,W,4)
-        premultiplied-alpha reference, 'background' (B,H,W,3).
+        premultiplied-alpha reference, 'background' (B,H,W,3); optionally
+        'img_second'/'invdepth'/'invdepth_second' (B,H,W,·) when the
+        corresponding cfg.use_* supervision flags are on.
         """
         cfg = self.cfg
         v_def, sdf, msdf = self.fields(params)
@@ -208,23 +217,40 @@ class GShellGeometry:
         keys = jax.random.split(key, target["mvp"].shape[0] + 2)
         k_render, k_eik = keys[:-2], keys[-2]
 
-        render_one = lambda k, mvp, campos, bg: render_mesh(
-            k,
-            mesh.verts,
-            faces_c,
-            mesh.v_nrm,
-            mesh.msdf,
-            mat_params,
-            mat_cfg,
-            mvp,
-            campos,
-            light,
-            flags,
-            background=bg,
-            visibility_fn=visibility_fn,
-            shadow_scale=shadow_scale,
-            denoiser_sigma=denoiser_sigma,
-        )
+        second = cfg.use_img_2nd_layer or cfg.use_depth_2nd_layer
+
+        def render_one(k, mvp, campos, bg):
+            buffers = render_mesh(
+                k,
+                mesh.verts,
+                faces_c,
+                mesh.v_nrm,
+                mesh.msdf,
+                mat_params,
+                mat_cfg,
+                mvp,
+                campos,
+                light,
+                flags,
+                background=bg,
+                visibility_fn=visibility_fn,
+                shadow_scale=shadow_scale,
+                denoiser_sigma=denoiser_sigma,
+            )
+            if second:
+                # 2nd depth layer (ref num_layers=2 peel; losses
+                # gshell_tets_geometry.py:287-297)
+                from ..render.render import render_second_layer
+
+                buffers.update(
+                    render_second_layer(
+                        k, mesh.verts, faces_c, mesh.v_nrm,
+                        mat_params, mat_cfg, mvp, campos, light, flags,
+                        background=bg, shadow_scale=shadow_scale,
+                        visibility_fn=visibility_fn,
+                    )
+                )
+            return buffers
         # Sequential over views (lax.map, not vmap): a single 512² view
         # already saturates the chip, and sequencing halves peak HBM — the
         # reference renders its batch as one big raster launch per view too.
@@ -256,6 +282,31 @@ class GShellGeometry:
         img_loss += 5e-1 * jnp.mean(
             jnp.abs(jnp.clip(msdf_img, max=0.0) * (gt_mask == 1) - 1.0)
         )
+
+        # Second-layer image loss (ref use_img_2nd_layer, :287-291)
+        if cfg.use_img_2nd_layer and "img_second" in target:
+            ref2 = target["img_second"]
+            sh2 = buffers["shaded_second"]
+            img_loss += jnp.mean((sh2[..., 3:] - ref2[..., 3:]) ** 2)
+            img_loss += image_loss_fn(
+                sh2[..., 0:3] * ref2[..., 3:], ref2[..., 0:3] * ref2[..., 3:]
+            )
+
+        # Depth losses (ref use_depth/use_depth_2nd_layer, :293-299; scale 100)
+        depth_loss = jnp.asarray(0.0)
+        if cfg.use_depth and "invdepth" in target:
+            depth_loss += 100.0 * jnp.mean(
+                jnp.abs(
+                    buffers["invdepth"][..., 0:1] - target["invdepth"][..., 0:1]
+                )
+            )
+            if cfg.use_depth_2nd_layer and "invdepth_second" in target:
+                depth_loss += 0.1 * 100.0 * jnp.mean(
+                    jnp.abs(
+                        buffers["invdepth_second"][..., 0:1]
+                        - target["invdepth_second"][..., 0:1]
+                    )
+                )
 
         # Eikonal (ref :302-324)
         if cfg.use_sdf_mlp and cfg.use_eikonal:
@@ -349,4 +400,6 @@ class GShellGeometry:
             "msdf_reg": msdf_reg,
             "shading_reg": shading_reg,
         }
-        return img_loss, reg_loss, aux
+        # reference tick returns (img_loss, depth_loss, reg_loss)
+        # (gshell_tets_geometry.py:384)
+        return img_loss, depth_loss, reg_loss, aux

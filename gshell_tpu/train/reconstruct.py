@@ -148,7 +148,7 @@ class Reconstructor:
                     )
             else:
                 visibility_fn = None
-            img_loss, reg_loss, aux = self.geo.tick(
+            img_loss, depth_loss, reg_loss, aux = self.geo.tick(
                 key,
                 params_geo,
                 params_mat,
@@ -162,9 +162,11 @@ class Reconstructor:
                 shadow_scale=shadow_scale,
                 denoiser_sigma=denoiser_sigma,
             )
-            return img_loss + reg_loss, (img_loss, reg_loss, aux)
+            # total = img + depth + reg (ref optimize_mesh :429)
+            total = img_loss + depth_loss + reg_loss
+            return total, (img_loss, depth_loss, reg_loss, aux)
 
-        (total, (img_loss, reg_loss, aux)), grads = jax.value_and_grad(
+        (total, (img_loss, depth_loss, reg_loss, aux)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(state.params_geo, state.params_mat, state.light_base)
         # Gradient sanitization: Monte-Carlo rendering occasionally produces
@@ -206,6 +208,7 @@ class Reconstructor:
         metrics = {
             "total": total,
             "img_loss": img_loss,
+            "depth_loss": depth_loss,
             "reg_loss": reg_loss,
             "nonfinite_grads": bad_count,
             **aux,

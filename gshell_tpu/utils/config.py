@@ -65,6 +65,11 @@ class Flags:
     use_sdf_mlp: bool = True
     use_msdf_mlp: bool = False
     use_eikonal: bool = True
+    # depth / 2nd-layer supervision (ref FLAGS :577-579, default off)
+    use_depth: bool = False
+    use_img_2nd_layer: bool = False
+    use_depth_2nd_layer: bool = False
+    layers: int = 1  # depth-peel layers for DatasetMesh GT (ref -l flag)
     sdf_mlp_pretrain_steps: int = 1000
     use_mesh_msdf_reg: bool = True
     sphere_init: bool = False

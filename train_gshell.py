@@ -84,6 +84,9 @@ def main():
         lambda_diffuse=flags.lambda_diffuse,
         lambda_specular=flags.lambda_specular,
         use_eikonal=flags.use_eikonal,
+        use_depth=flags.use_depth,
+        use_img_2nd_layer=flags.use_img_2nd_layer,
+        use_depth_2nd_layer=flags.use_depth_2nd_layer,
         total_iters=flags.iter,
     )
     if flags.use_flexicubes or args.flexicubes:
@@ -143,7 +146,8 @@ def main():
         gt_light = create_trainable_env_rnd(jax.random.PRNGKey(42), 256)
         gt_mat = init_mlp_texture(jax.random.PRNGKey(43), mat_cfg)
         ds = DatasetMesh(
-            gt_mesh, gt_light, gt_mat, mat_cfg, rflags, n_views=64
+            gt_mesh, gt_light, gt_mat, mat_cfg, rflags, n_views=64,
+            layers=flags.layers,
         )
     else:
         raise SystemExit(
