@@ -277,6 +277,7 @@ class GShellFlexiGeometry:
         aux = {
             "n_surf_cubes": mesh.n_surf_cubes,
             "n_faces": n_faces,
+            "raster_dropped": jnp.sum(buffers["n_raster_dropped"]),
             "l_dev": mesh.l_dev,
             "sdf_reg": sdf_reg,
             "eik_loss": eik_loss,

@@ -395,6 +395,7 @@ class GShellGeometry:
             "n_valid_tets": mesh.n_valid_tets,
             "n_faces": n_faces,
             "n_crossing_edges": mesh.n_crossing_edges,
+            "raster_dropped": jnp.sum(buffers["n_raster_dropped"]),
             "sdf_reg": sdf_reg,
             "eik_loss": eik_loss,
             "msdf_reg": msdf_reg,

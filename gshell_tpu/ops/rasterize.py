@@ -36,6 +36,12 @@ class Rast(NamedTuple):
     tri_id: jax.Array  # (H, W) int32; 0 = background, else face index + 1
     bary: jax.Array  # (H, W, 2) perspective-correct (b0, b1); b2 = 1-b0-b1
     zbuf: jax.Array  # (H, W) NDC depth of hit (+BIG at background)
+    # Overflow observability: count of (triangle, tile) pairs / per-tile
+    # triangles silently dropped by the fixed-capacity binning.  The
+    # reference's hardware raster is exact; a fixed-budget TPU raster must
+    # surface saturation instead (a saturated budget shows up as silhouette
+    # holes).  0 for the exact scan path.
+    dropped: jax.Array = jnp.zeros((), jnp.int32)
 
 
 _W_EPS = 1e-6
@@ -501,6 +507,9 @@ def rasterize_tiled(
     pair_valid = j < total
     ptile = jnp.where(pair_valid, ptile, n_tiles)  # invalid → sentinel bin
 
+    # pairs beyond the max_pairs budget never enter the sort → count them
+    dropped_pairs = jnp.maximum(total - max_pairs, 0).astype(jnp.int32)
+
     order = jnp.argsort(ptile)
     s_tile = ptile[order]
     s_tri = pair_tri[order]
@@ -549,10 +558,15 @@ def rasterize_tiled(
         best_id = bidf.astype(jnp.int32) - 1  # -1 = miss
         best_z = jnp.where(best_id >= 0, bz, _BIG)
         return _stitch_tiles(
-            best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile
+            best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile,
+            dropped=dropped_pairs,
         )
 
     tile_cnt = jnp.minimum(tile_end - tile_start, max_per_tile)
+    # XLA backend: triangles beyond max_per_tile within a tile are dropped too
+    dropped_tris = jnp.sum(
+        jnp.maximum((tile_end - tile_start) - max_per_tile, 0)
+    ).astype(jnp.int32)
 
     # per-tile triangle lists (n_tiles, max_per_tile)
     gather_idx = tile_start[:, None] + jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
@@ -607,10 +621,16 @@ def rasterize_tiled(
         jnp.full((n_tiles, tile * tile), -1, jnp.int32),
     )
     (best_z, best_id), _ = jax.lax.scan(body, init, jnp.arange(n_kc))
-    return _stitch_tiles(best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile)
+    return _stitch_tiles(
+        best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile,
+        dropped=dropped_pairs + dropped_tris,
+    )
 
 
-def _stitch_tiles(best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile) -> Rast:
+def _stitch_tiles(
+    best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile,
+    dropped=jnp.zeros((), jnp.int32),
+) -> Rast:
     """(n_tiles, tile²) per-tile winners → image-layout :class:`Rast`."""
     best_z = best_z.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3).reshape(h, w)
     best_id = best_id.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3).reshape(h, w)
@@ -627,6 +647,7 @@ def _stitch_tiles(best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile) -> Ras
         tri_id=jax.lax.stop_gradient(tri_id),
         bary=jax.lax.stop_gradient(bary),
         zbuf=jax.lax.stop_gradient(zbuf),
+        dropped=jax.lax.stop_gradient(dropped),
     )
 
 

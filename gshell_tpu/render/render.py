@@ -326,6 +326,11 @@ def render_mesh(
     vis_vert = jnp.zeros((nv,), jnp.bool_).at[vis_faces].max(hit_rep)
     buffers["visible_vert_mask"] = vis_vert
 
+    # raster budget saturation counter (0 on the exact scan path) — surfaced
+    # into train metrics beside n_valid_tets so silent silhouette holes from
+    # an exhausted max_pairs/max_per_tile budget are observable
+    buffers["n_raster_dropped"] = rast.dropped
+
     return buffers
 
 
