@@ -31,6 +31,7 @@ def test_vpsde_schedule():
     assert (np.diff(acp) < 0).all()
 
 
+@pytest.mark.slow
 def test_unet_shapes():
     d = 8
     model = UNet3D(TINY)
@@ -61,6 +62,7 @@ def test_ddim_perfect_eps_recovers_x0():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=0.05)
 
 
+@pytest.mark.slow
 def test_trainer_step_on_mesh():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     d = 8

@@ -25,6 +25,7 @@ def setup():
     return codec, ex, pos, sdf, msdf
 
 
+@pytest.mark.slow
 def test_roundtrip(setup):
     codec, ex, pos, sdf, msdf = setup
     direct = ex(pos, sdf, msdf, watertight_template=True)

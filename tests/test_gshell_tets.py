@@ -123,6 +123,7 @@ def test_sdf_reg_lattice_matches_edge_list():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_extraction_topology_free_grid():
     """Extraction works on a grid built with build_topology=False (the
     res-256 path: no materialized tets/tet_edges/edges tables)."""

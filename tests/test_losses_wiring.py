@@ -94,6 +94,7 @@ def _tick(geo, gcfg, target, key=0):
     return total, img, depth, reg, aux, grads
 
 
+@pytest.mark.slow
 def test_depth_and_second_layer_losses_tets():
     gcfg = GeometryConfig(
         grid_res=GRID, use_sdf_mlp=False, use_eikonal=False,
@@ -110,6 +111,7 @@ def test_depth_and_second_layer_losses_tets():
     assert any(float(jnp.abs(jnp.asarray(x)).sum()) > 0 for x in g)
 
 
+@pytest.mark.slow
 def test_depth_loss_off_by_default():
     gcfg = GeometryConfig(grid_res=GRID, use_sdf_mlp=False, use_eikonal=False)
     geo = GShellGeometry(gcfg)
@@ -118,6 +120,7 @@ def test_depth_loss_off_by_default():
     assert float(depth) == 0.0
 
 
+@pytest.mark.slow
 def test_flexicubes_eikonal_fires():
     from gshell_tpu.geometry.flexi_geometry import (
         FlexiGeometryConfig,

@@ -1,5 +1,6 @@
 """Sharding tests on the 8-virtual-device CPU mesh: pixel-sharded shading
 parity and FSDP parameter layouts."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -55,6 +56,7 @@ def test_fsdp_sharding_layout():
     assert placed.sharding.num_devices == 8
 
 
+@pytest.mark.slow
 def test_multislice_diffusion_step():
     """2 slices × 4 chips (DCN × ICI mesh): one diffusion train step with the
     batch sharded over the combined grid; grads psum hierarchically."""
@@ -96,6 +98,7 @@ def test_multislice_diffusion_step():
     assert jnp.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_preemption_kill_resume(tmp_path):
     """Preemption semantics (SURVEY §5.3): train → meta-checkpoint →
     'process death' (fresh trainer + fresh init) → restore → the restored

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -78,6 +79,7 @@ def test_perspective_correctness():
     assert abs(img[row, col] - 0.25) < 0.05
 
 
+@pytest.mark.slow
 def test_aa_gradient_moves_silhouette():
     v, f = clip_quad(half=0.4)
 

@@ -1,4 +1,5 @@
 """render_mesh buffer-contract test + validate/chamfer metrics."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +102,7 @@ def test_chamfer_identical_meshes():
     assert float(cd2) > 0.4  # ≈ 2 × 0.25 (squared distance both ways)
 
 
+@pytest.mark.slow
 def test_render_spp_supersampling():
     """spp>1 renders at resolution·spp and pools every image buffer back to
     base resolution (ref render.py:333,361)."""
@@ -151,6 +153,7 @@ def test_render_spp_supersampling():
     assert d < 0.05
 
 
+@pytest.mark.slow
 def test_render_texture2d_material():
     """Texture2D kd/ks material path: UV-sampled colors land in the buffers
     (ref shade() render.py:79-97 'kd'/'ks' lookups)."""

@@ -1,3 +1,4 @@
+import pytest
 import math
 
 import jax
@@ -107,6 +108,7 @@ def test_pbr_furnace_close():
     assert np.asarray(out.specular).mean() > 0.0
 
 
+@pytest.mark.slow
 def test_light_gradients():
     light = update_pdf(jnp.full((8, 16, 3), 1.0))
     p = 4
@@ -192,6 +194,7 @@ def test_denoiser_smooths():
     np.testing.assert_allclose(float(out.mean()), float(col.mean()), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_mc_accumulator_gradients_match_fd():
     """The custom-VJP MC accumulator must agree with finite differences
     (validates the memory-free backward re-walk)."""
@@ -258,6 +261,7 @@ def test_shadow_field_matches_march():
     assert v2[0, 0] == 0.0 and v2[1, 0] == 1.0
 
 
+@pytest.mark.slow
 def test_shadow_field_in_env_shade_grad():
     """env_shade with the field visibility: finite grads flow to kd/light."""
     from gshell_tpu.ops.shade import make_shadow_field_parts
