@@ -70,11 +70,23 @@ class Reconstructor:
         mat_cfg: MLPTexture3DConfig,
         flags: RenderFlags,
         tcfg: TrainConfig = TrainConfig(),
+        mesh=None,
     ):
+        """``mesh``: optional 2-axis ``jax.sharding.Mesh`` ("view", "band").
+        When given, every device renders one view's horizontal row band
+        (halo-padded; see ``parallel/spatial.render_batch_banded``) — the
+        multi-chip path that delivers the v5e-8 targets.  Requires
+        ``tcfg.batch == mesh.shape['view']`` and the image height divisible
+        by ``mesh.shape['band']``."""
         self.geo = geometry
         self.mat_cfg = mat_cfg
         self.flags = flags
         self.tcfg = tcfg
+        self.mesh = mesh
+        if mesh is not None:
+            assert tuple(mesh.axis_names) == ("view", "band"), mesh.axis_names
+            assert tcfg.batch == mesh.shape["view"], (tcfg.batch, dict(mesh.shape))
+            assert flags.resolution[0] % mesh.shape["band"] == 0
         self.image_loss_fn = create_loss(tcfg.loss)
 
         lr_lgt = tcfg.lr_lgt if tcfg.lr_lgt is not None else tcfg.lr_pos * 6.0
@@ -161,6 +173,7 @@ class Reconstructor:
                 visibility_fn=visibility_fn,
                 shadow_scale=shadow_scale,
                 denoiser_sigma=denoiser_sigma,
+                spatial_mesh=self.mesh,
             )
             # total = img + depth + reg (ref optimize_mesh :429)
             total = img_loss + depth_loss + reg_loss
