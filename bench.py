@@ -78,6 +78,8 @@ def run_config(quick, res, grid, n_samples, batch):
         use_eikonal=True,
         n_eikonal_samples=2048 if quick else 16384,
         total_iters=5000,
+        # experiment knob: GSHELL_VIEW_MODE=map|map_remat|vmap
+        view_batch_mode=os.environ.get("GSHELL_VIEW_MODE", "map_remat"),
     )
     geo = GShellGeometry(gcfg)
     mat_cfg = MLPTexture3DConfig(
@@ -92,6 +94,9 @@ def run_config(quick, res, grid, n_samples, batch):
         # binned raster: at 512²×10⁵ faces the O(P·F) scan is ~40× more work
         tiled_raster=not quick,
         max_per_tile=1024,
+        # foreground compaction: shade/material only the covered pixels
+        # (scene coverage ~28%; budget overflow is counted in px_dropped)
+        shade_budget=float(os.environ.get("GSHELL_SHADE_BUDGET", "0.5")),
     )
     tcfg = TrainConfig(batch=batch, use_shadows=True)
     rec = Reconstructor(geo, mat_cfg, flags, tcfg)

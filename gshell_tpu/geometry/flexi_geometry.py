@@ -278,6 +278,7 @@ class GShellFlexiGeometry:
             "n_surf_cubes": mesh.n_surf_cubes,
             "n_faces": n_faces,
             "raster_dropped": jnp.sum(buffers["n_raster_dropped"]),
+            "px_dropped": jnp.sum(buffers.get("n_px_dropped", jnp.zeros((), jnp.int32))),
             "l_dev": mesh.l_dev,
             "sdf_reg": sdf_reg,
             "eik_loss": eik_loss,

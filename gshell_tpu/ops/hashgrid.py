@@ -82,25 +82,18 @@ def _corner_index(ix: jax.Array, iy: jax.Array, iz: jax.Array, res: int, table_s
     return jnp.abs(h) % table_size
 
 
-def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig):
-    """Forward encode + analytic position-Jacobian, one fused gather.
-
-    Returns (out (P, L·F), jac (P, L·F, 3)) where jac[k] = ∂out_k/∂x — the
-    per-level trilinear weight derivatives contracted against the gathered
-    features DURING the forward, so a backward w.r.t. x never re-gathers
-    (XLA otherwise rematerializes the 67M-element gather in the transpose —
-    measured as expensive as the forward itself)."""
-    p = x.shape[0]
-    L = cfg.n_levels
+def _corner_weight_arrays(x: jax.Array, cfg: HashGridConfig, with_jac: bool):
+    """(idx (P, 8L) int32, wgt (P, 8L), [dwx, dwy, dwz (P, 8L)]) — corner
+    indices, trilinear weights, and (optionally) the weight derivatives, all
+    as LANE-ALIGNED (·, 8L = 128 at default config) arrays.  Column order is
+    level-major: column l·8 + c."""
     T = cfg.table_size
-    F = cfg.n_features
-
-    idx_all, wgt_all, dw_all = [], [], []
+    idx_all, wgt_all = [], []
+    dw_all = ([], [], [])
     for level, res in enumerate(cfg.level_resolutions()):
         xs = x * res
         x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
         t = xs - x0.astype(xs.dtype)
-        f = [None, None, None]
         for cx in (0, 1):
             for cy in (0, 1):
                 for cz in (0, 1):
@@ -111,34 +104,57 @@ def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig)
                     fx = t[:, 0] if cx else 1.0 - t[:, 0]
                     fy = t[:, 1] if cy else 1.0 - t[:, 1]
                     fz = t[:, 2] if cz else 1.0 - t[:, 2]
-                    sx = 1.0 if cx else -1.0
-                    sy = 1.0 if cy else -1.0
-                    sz = 1.0 if cz else -1.0
                     wgt_all.append(fx * fy * fz)
-                    dw_all.append(
-                        jnp.stack(
-                            [sx * fy * fz, fx * sy * fz, fx * fy * sz], axis=-1
-                        )
-                        * res
-                    )
-    idx = jnp.stack(idx_all, axis=1)  # (P, 8L)
-    wgt = jnp.stack(wgt_all, axis=1)  # (P, 8L)
-    dw = jnp.stack(dw_all, axis=1)  # (P, 8L, 3)
-    flat = params.tables.reshape(L * T, F)
-    feats = flat[idx]  # (P, 8L, F)
-    f4 = feats.reshape(p, L, 8, F)
-    out = (f4 * wgt.reshape(p, L, 8, 1)).sum(axis=2).reshape(p, L * F)
-    # Jacobian packed as (P, 3·L·F) — NEVER (P, L·F, 3): a trailing dim of
-    # 3 is lane-padded 128/3 ≈ 43× by XLA TPU layout (4 GB for a 91 MB
-    # residual at 512²; this OOMed the spp-8 step)
-    dw4 = dw.reshape(p, L, 8, 3)
-    jac = jnp.concatenate(
-        [
-            jnp.einsum("plcf,plc->plf", f4, dw4[..., d]).reshape(p, L * F)
-            for d in range(3)
-        ],
-        axis=1,
-    )  # (P, 3·L·F), dim-major
+                    if with_jac:
+                        sx = float(res) if cx else -float(res)
+                        sy = float(res) if cy else -float(res)
+                        sz = float(res) if cz else -float(res)
+                        dw_all[0].append(sx * fy * fz)
+                        dw_all[1].append(fx * sy * fz)
+                        dw_all[2].append(fx * fy * sz)
+    idx = jnp.stack(idx_all, axis=1)
+    wgt = jnp.stack(wgt_all, axis=1)
+    if not with_jac:
+        return idx, wgt, None
+    return idx, wgt, tuple(jnp.stack(d, axis=1) for d in dw_all)
+
+
+def _feature_tables(params: HashGridParams, cfg: HashGridConfig):
+    """Tables as F separate 1-D (L·T,) arrays.
+
+    TPU layout rule (measured, docs/STATUS.md): a materialized (·, ·, F=2)
+    tensor is lane-padded 128/F = 64× — gathering (P, 8L, F) corner features
+    at 512² inflates 0.5 GB of data to 8 GB of HLO temps (this OOMed the
+    b2 step).  Gathering each feature from a 1-D table instead yields
+    (P, 8L) = (P, 128) outputs — zero padding."""
+    L, T, F = params.tables.shape
+    return [params.tables[..., f].reshape(L * T) for f in range(F)]
+
+
+def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig):
+    """Forward encode + analytic position-Jacobian.
+
+    Returns (out (P, L·F) feature-major [f·L + l], jac (P, 3·L·F) dim-major
+    blocks matching out's order) — the per-level trilinear weight
+    derivatives are contracted against the gathered features DURING the
+    forward, so a backward w.r.t. x never re-gathers (XLA otherwise
+    rematerializes the 67M-element gather in the transpose — measured as
+    expensive as the forward itself).  Every materialized intermediate is
+    (P, 8L) or (P, L)-shaped — see :func:`_feature_tables`."""
+    p = x.shape[0]
+    L = cfg.n_levels
+    idx, wgt, (dwx, dwy, dwz) = _corner_weight_arrays(x, cfg, with_jac=True)
+
+    outs, jacs = [], {0: [], 1: [], 2: []}
+    for flat_f in _feature_tables(params, cfg):
+        feats = flat_f[idx]  # (P, 8L) — lane-aligned gather
+        red = lambda w: (feats * w).reshape(p, L, 8).sum(axis=2)  # (P, L)
+        outs.append(red(wgt))
+        jacs[0].append(red(dwx))
+        jacs[1].append(red(dwy))
+        jacs[2].append(red(dwz))
+    out = jnp.concatenate(outs, axis=1)  # (P, F·L) feature-major
+    jac = jnp.concatenate(jacs[0] + jacs[1] + jacs[2], axis=1)  # (P, 3·F·L)
     return out, jac
 
 
@@ -173,41 +189,24 @@ hashgrid_encode_x_grads.defvjp(_hg_x_fwd, _hg_x_bwd)
 def hashgrid_encode(params: HashGridParams, x: jax.Array, cfg: HashGridConfig) -> jax.Array:
     """Encode points x ∈ [0,1]^(...,3) → (..., L*F) features.
 
-    TPU shape: all L levels × 8 corners are folded into ONE fused gather
-    from the flattened (L·T, F) table — a single (P, 8L) index array instead
-    of 8·L separate gather kernels; the trilinear blend is one weighted
-    reduction over the corner axis."""
+    TPU shape: all L levels × 8 corners are folded into ONE (P, 8L) index
+    array per feature; each feature gathers from its own 1-D (L·T,) table so
+    every materialized tensor is lane-aligned (see :func:`_feature_tables`).
+    Output is feature-major [f·L + l] — the SAME order as
+    :func:`_encode_with_xjac` (load-bearing: the stochastic-gradient path
+    routes this function's table cotangents through positions produced by
+    the other)."""
     shp = x.shape[:-1]
     x = x.reshape(-1, 3)
     x = jnp.clip(x, 0.0, 1.0)
     p = x.shape[0]
     L = cfg.n_levels
-    T = cfg.table_size
-
-    idx_all = []
-    wgt_all = []
-    for level, res in enumerate(cfg.level_resolutions()):
-        xs = x * res  # cell coords in [0, res]
-        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
-        t = xs - x0.astype(xs.dtype)  # fractional, in [0,1]
-        for cx in (0, 1):
-            for cy in (0, 1):
-                for cz in (0, 1):
-                    idx = _corner_index(
-                        x0[:, 0] + cx, x0[:, 1] + cy, x0[:, 2] + cz, res, T
-                    )
-                    idx_all.append(idx + level * T)
-                    wgt_all.append(
-                        (t[:, 0] if cx else 1.0 - t[:, 0])
-                        * (t[:, 1] if cy else 1.0 - t[:, 1])
-                        * (t[:, 2] if cz else 1.0 - t[:, 2])
-                    )
-    idx = jnp.stack(idx_all, axis=1)  # (P, 8L)
-    wgt = jnp.stack(wgt_all, axis=1)  # (P, 8L)
-    flat = params.tables.reshape(L * T, cfg.n_features)
-    feats = flat[idx]  # (P, 8L, F) — one gather
-    out = (feats * wgt[..., None]).reshape(p, L, 8, cfg.n_features).sum(axis=2)
-    return out.reshape(*shp, cfg.out_dim)
+    idx, wgt, _ = _corner_weight_arrays(x, cfg, with_jac=False)
+    outs = [
+        (flat_f[idx] * wgt).reshape(p, L, 8).sum(axis=2)
+        for flat_f in _feature_tables(params, cfg)
+    ]
+    return jnp.concatenate(outs, axis=1).reshape(*shp, cfg.out_dim)
 
 
 def hashgrid_encode_stochastic(

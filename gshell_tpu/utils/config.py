@@ -83,6 +83,9 @@ class Flags:
     random_textures: bool = False
     use_flexicubes: bool = False
     voxel_grid: int = 80  # FlexiCubes resolution when use_flexicubes
+    # foreground-pixel compaction budget (fraction of pixels shaded; None →
+    # exact full-image path). Overflow is counted in the px_dropped metric.
+    shade_budget: Optional[float] = 0.5
 
     def apply_json(self, path: str) -> "Flags":
         data = json.load(open(path))

@@ -212,3 +212,71 @@ def test_render_texture2d_material():
         )["shaded"].sum()
     )(kd)
     assert float(jnp.abs(g.base).sum()) > 0
+
+
+def test_shade_budget_compaction_matches_exact():
+    """shade_budget compaction: deterministic buffers match the exact path
+    when the budget covers the foreground; the overflow counter fires (and
+    nothing crashes) when it does not."""
+    mesh, mat, mat_cfg, light, mvp, campos = setup()
+    msdf = jnp.ones((mesh.v_pos.shape[0],))
+
+    def render(budget, bsdf):
+        flags = RenderFlags(
+            resolution=(RES, RES), n_samples=2, bsdf=bsdf,
+            use_denoiser=False, shade_budget=budget,
+        )
+        return render_mesh(
+            jax.random.PRNGKey(1), mesh.v_pos, mesh.t_pos_idx, mesh.v_nrm,
+            msdf, mat, mat_cfg, mvp, campos, light, flags, shadow_scale=0.0,
+        )
+
+    exact = render(None, "kd")
+    comp = render(0.6, "kd")
+    n_fg = int(np.asarray(exact["mask"]).sum())
+    assert n_fg < int(RES * RES * 0.6)  # budget really covers the quad
+    assert int(comp["n_px_dropped"]) == 0
+    for name in ("shaded", "mask", "kd", "ks", "invdepth", "msdf_image"):
+        np.testing.assert_allclose(
+            np.asarray(comp[name]), np.asarray(exact[name]), atol=1e-5,
+            err_msg=name,
+        )
+
+    # saturated budget: counter reports the overflow, output stays finite
+    big = quad_mesh(half=1.2)  # covers the whole 64² frame
+    flags_t = RenderFlags(
+        resolution=(64, 64), n_samples=2, bsdf="kd", use_denoiser=False,
+        shade_budget=1.0 / 4096.0,  # rounds up to 1024 slots
+    )
+    tiny = render_mesh(
+        jax.random.PRNGKey(1), big.v_pos, big.t_pos_idx, big.v_nrm,
+        jnp.ones((4,)), mat, mat_cfg, mvp, campos, light, flags_t,
+        shadow_scale=0.0,
+    )
+    n_fg_big = int(np.asarray(tiny["mask"]).sum())
+    assert n_fg_big > 1024
+    assert int(tiny["n_px_dropped"]) == n_fg_big - 1024
+    assert np.isfinite(np.asarray(tiny["shaded"])).all()
+
+
+@pytest.mark.slow
+def test_shade_budget_grads():
+    """Gradients flow through the compaction gather/scatter on the full MC
+    path (pbr + shade_budget)."""
+    mesh, mat, mat_cfg, light, mvp, campos = setup()
+    msdf = jnp.ones((mesh.v_pos.shape[0],))
+
+    def loss(v):
+        flags = RenderFlags(
+            resolution=(RES, RES), n_samples=2, bsdf="pbr",
+            use_denoiser=False, shade_budget=0.6,
+        )
+        buf = render_mesh(
+            jax.random.PRNGKey(1), v, mesh.t_pos_idx, mesh.v_nrm, msdf,
+            mat, mat_cfg, mvp, campos, light, flags, shadow_scale=0.0,
+        )
+        return (buf["shaded"] ** 2).sum()
+
+    g = jax.grad(loss)(mesh.v_pos)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

@@ -118,6 +118,7 @@ def main():
         bsdf=flags.bsdf,
         use_denoiser=flags.denoiser == "bilateral",
         denoiser_demodulate=flags.denoiser_demodulate,
+        shade_budget=flags.shade_budget,
     )
     lr_pos, lr_mat, lr_lgt = learning_rates(flags)
     tcfg = TrainConfig(
