@@ -86,21 +86,33 @@ def cond_gen(
     key: jax.Array,
     shape: tuple,
     feature_mask=None,
+    occ_shape: Optional[tuple] = None,
+    occ_mask=None,
+    occ_condition: Optional[jax.Array] = None,
+    occ_cond_mask: Optional[jax.Array] = None,
 ):
     """Inpainting: at every ancestral step, overwrite the known region with a
     re-noised version of the condition (ref evaler.py:183-263 /
-    sampling.py get_pc_sampler conditional branch)."""
+    sde_lib.py:176-203 conditional branch).
+
+    The occupancy grid is sampled JOINTLY with the feature grid (the score
+    model is dual-head — both denoise together exactly as in uncond
+    sampling); pass ``occ_condition``/``occ_cond_mask`` to inpaint a known
+    occupancy region too.  Returns ``(x, x_occ)`` (``x_occ`` is None when
+    ``occ_shape`` is None)."""
 
     def sampler(key):
-        k_x, k_loop = jax.random.split(key)
+        k_x, k_occ, k_loop = jax.random.split(key, 3)
         x = jax.random.normal(k_x, shape)
+        x_occ = jax.random.normal(k_occ, occ_shape) if occ_shape else None
 
-        def body(i, x):
+        def body(i, carry):
+            x, x_occ = carry
             t = sde.N - 1 - i
             labels = jnp.full((shape[0],), t, jnp.int32)
-            eps, _ = eps_fn(x, None, labels)
+            eps, eps_occ = eps_fn(x, x_occ, labels)
             kk = jax.random.fold_in(k_loop, i)
-            k1, k2 = jax.random.split(kk)
+            k1, k2, k3, k4 = jax.random.split(kk, 4)
             x_new, x_mean = ancestral_step(sde, k1, x, eps.astype(jnp.float32), t)
             x_new = jnp.where(t == 0, x_mean, x_new)
             # re-noise condition to level t-1 and paste the known region
@@ -109,8 +121,22 @@ def cond_gen(
             x_new = cond_t * cond_mask + x_new * (1.0 - cond_mask)
             if feature_mask is not None:
                 x_new = x_new * feature_mask
-            return x_new
+            if x_occ is not None:
+                o_new, o_mean = ancestral_step(
+                    sde, k3, x_occ, eps_occ.astype(jnp.float32), t
+                )
+                o_new = jnp.where(t == 0, o_mean, o_new)
+                if occ_condition is not None:
+                    o_noise = jax.random.normal(k4, occ_shape)
+                    o_cond_t = perturb(
+                        sde, occ_condition, jnp.maximum(labels - 1, 0), o_noise
+                    )
+                    o_new = o_cond_t * occ_cond_mask + o_new * (1.0 - occ_cond_mask)
+                if occ_mask is not None:
+                    o_new = o_new * occ_mask
+                x_occ = o_new
+            return (x_new, x_occ)
 
-        return jax.lax.fori_loop(0, sde.N, body, x)
+        return jax.lax.fori_loop(0, sde.N, body, (x, x_occ))
 
     return jax.jit(sampler)(key)

@@ -54,7 +54,21 @@ def main():
     p.add_argument("--base-channels", type=int, default=None)
     p.add_argument("--ch-mult", type=str, default=None,
                    help="comma-separated, e.g. 1,2,2,4,4,4")
+    # multi-host (pod / multi-slice): initialize jax.distributed so the mesh
+    # spans all processes; each process then loads only its own batch rows
+    # (DistributedGridSampler — the DistributedSampler analogue,
+    # ref trainer_ddp.py:30-37,79-83)
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port for manual jax.distributed setups")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args()
+
+    if args.multihost:
+        from gshell_tpu.parallel.sharding import init_multihost
+
+        init_multihost(args.coordinator, args.num_processes, args.process_id)
 
     from gshell_tpu.train.diffusion import DiffusionTrainConfig, DiffusionTrainer
     from gshell_tpu.parallel.sharding import make_mesh
@@ -100,26 +114,18 @@ def main():
         assert args.data_glob, "--data-glob required for training"
         files = sorted(glob.glob(args.data_glob))
         assert files, f"no grids match {args.data_glob}"
+        from gshell_tpu.data.multihost import DistributedGridSampler
+
         d = args.grid_size
-        mesh = trainer.mesh
-        sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
-        rng = np.random.default_rng(args.seed)
         start = int(state.step)
+        # per-process shard loading: on a multi-host mesh each process loads
+        # only the batch rows its devices own (no cross-host input traffic)
+        sampler_in = DistributedGridSampler(
+            files, trainer.mesh, d, args.grad_acc, args.batch,
+            seed=args.seed, start_step=start,
+        )
         for it in range(start, args.n_iters):
-            grids, occs = [], []
-            for _ in range(args.grad_acc * args.batch):
-                z = np.load(files[rng.integers(len(files))])
-                grids.append(z["grid"])
-                occs.append(z["occgrid"][..., None])
-            batch = {
-                "grid": jax.device_put(
-                    np.stack(grids).reshape(args.grad_acc, args.batch, d, d, d, -1), sh
-                ),
-                "occgrid": jax.device_put(
-                    np.stack(occs).reshape(args.grad_acc, args.batch, 2 * d, 2 * d, 2 * d, 1),
-                    sh,
-                ),
-            }
+            batch = sampler_in()
             key, k = jax.random.split(key)
             state, m = trainer.train_step(state, k, batch)
             if it % args.log_freq == 0:
@@ -146,15 +152,25 @@ def main():
             cond_mask = jnp.asarray(z["cond_mask"], jnp.float32).reshape(
                 (1, d, d, d, -1)
             )
+            # optional known-occupancy inpainting from the same cond file
+            occ_condition = occ_cond_mask = None
+            if "occgrid" in z and "occ_cond_mask" in z:
+                occ_condition = jnp.asarray(z["occgrid"]).reshape(occ_shape)
+                occ_cond_mask = jnp.asarray(z["occ_cond_mask"], jnp.float32).reshape(
+                    (1, 2 * d, 2 * d, 2 * d, -1)
+                )
             for i in range(args.n_samples):
                 key, k = jax.random.split(key)
-                x = _cond_gen(
+                x, x_occ = _cond_gen(
                     trainer.sde, eps_fn, condition, cond_mask, k, shape,
                     feature_mask=feature_mask,
+                    occ_shape=occ_shape, occ_mask=occ_mask,
+                    occ_condition=occ_condition, occ_cond_mask=occ_cond_mask,
                 )
                 np.savez_compressed(
                     os.path.join(args.workdir, f"cond_sample_{i:04d}.npz"),
                     grid=np.asarray(x[0]),
+                    occgrid=np.asarray(x_occ[0, ..., 0]),
                 )
                 print(f"cond sample {i} saved", flush=True)
             return

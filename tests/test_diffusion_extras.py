@@ -46,11 +46,37 @@ def test_cond_gen_preserves_condition():
     def eps_fn(x, x_occ, labels):
         return jnp.zeros_like(x), None
 
-    out = cond_gen(sde, eps_fn, cond, mask, jax.random.PRNGKey(0), shape)
+    out, out_occ = cond_gen(sde, eps_fn, cond, mask, jax.random.PRNGKey(0), shape)
+    assert out_occ is None
     out = np.asarray(out)
     assert np.isfinite(out).all()
     # known region ends at the re-noised condition at t=0 → close to cond
     np.testing.assert_allclose(out[:, :2], 0.5, atol=0.2)
+
+
+def test_cond_gen_samples_occ_jointly():
+    """cond_gen denoises the dual-head occ grid alongside the feature grid
+    (ref sde_lib.py:176-203 paired conditional branch) and can inpaint a
+    known occupancy region."""
+    sde = make_vpsde(n=100)
+    shape = (1, 4, 4, 4, 1)
+    occ_shape = (1, 8, 8, 8, 1)
+    cond = jnp.ones(shape) * 0.5
+    mask = jnp.zeros(shape).at[:, :2].set(1.0)
+    occ_cond = jnp.ones(occ_shape) * -0.5
+    occ_cmask = jnp.zeros(occ_shape).at[:, :4].set(1.0)
+
+    def eps_fn(x, x_occ, labels):
+        return jnp.zeros_like(x), jnp.zeros_like(x_occ)
+
+    out, out_occ = cond_gen(
+        sde, eps_fn, cond, mask, jax.random.PRNGKey(0), shape,
+        occ_shape=occ_shape, occ_condition=occ_cond, occ_cond_mask=occ_cmask,
+    )
+    out_occ = np.asarray(out_occ)
+    assert out_occ.shape == occ_shape
+    assert np.isfinite(out_occ).all()
+    np.testing.assert_allclose(out_occ[:, :4], -0.5, atol=0.2)
 
 
 def test_likelihood_gaussian():
