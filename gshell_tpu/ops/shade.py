@@ -537,7 +537,9 @@ def _apply_shadow_field(
 # ----------------------------------------------------------------------------
 
 
-def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init_of: Callable):
+def _mc_accumulate(
+    step_contrib: Callable, n_steps: int, args, init_of: Callable, block: int = 1
+):
     """Σᵢ step_contrib(args, i, aux_i)₀ with O(pixels) memory under AD.
 
     A scan's backward normally stores per-iteration residuals — for an
@@ -556,39 +558,62 @@ def _mc_accumulate(step_contrib: Callable, n_steps: int, args, init_of: Callable
     pass is called with ``aux=None``; the backward with the saved slice.
 
     ``args`` must be a float-only pytree (pack RNG keys via bitcast).
+
+    ``block``: number of MC steps evaluated per loop iteration (vmapped over
+    the step index).  The per-pixel VPU math of one step is shallow, so a
+    64-trip sequential loop is launch/latency-bound at compacted pixel
+    counts; blocking k steps multiplies per-iteration parallelism by k at
+    k× transient (never resident) memory.  Must divide ``n_steps``.
     """
+    block = max(1, min(block, n_steps))
+    while n_steps % block:
+        block -= 1
+    n_blocks = n_steps // block
+
+    def block_contrib(a, j, aux_blk):
+        s_vec = j * block + jnp.arange(block)
+        if block == 1:
+            c, aux = step_contrib(
+                a, s_vec[0], None if aux_blk is None else aux_blk[0]
+            )
+            return c, aux[None] if aux is not None else None
+        if aux_blk is None:
+            c, aux = jax.vmap(lambda s: step_contrib(a, s, None))(s_vec)
+        else:
+            c, aux = jax.vmap(lambda s, x: step_contrib(a, s, x))(s_vec, aux_blk)
+        return c.sum(axis=0), aux
 
     @jax.custom_vjp
     def run(args):
-        def body(i, acc):
-            c, _ = step_contrib(args, i, None)
+        def body(j, acc):
+            c, _ = block_contrib(args, j, None)
             return acc + c
 
         # init derived from args: keeps shard_map varying-axis tracking
         # consistent AND avoids closing over outer-scope tracers
-        return jax.lax.fori_loop(0, n_steps, body, init_of(args))
+        return jax.lax.fori_loop(0, n_blocks, body, init_of(args))
 
     def fwd(args):
-        def body(acc, i):
-            c, aux = step_contrib(args, i, None)
+        def body(acc, j):
+            c, aux = block_contrib(args, j, None)
             return acc + c, aux
 
         total, aux_stack = jax.lax.scan(
-            lambda acc, i: body(acc, i), init_of(args), jnp.arange(n_steps)
+            lambda acc, j: body(acc, j), init_of(args), jnp.arange(n_blocks)
         )
         return total, (args, jax.lax.stop_gradient(aux_stack))
 
     def bwd(res, g):
         args, aux_stack = res
 
-        def body(i, acc):
-            aux_i = jax.tree_util.tree_map(lambda t: t[i], aux_stack)
-            _, vjp = jax.vjp(lambda a: step_contrib(a, i, aux_i)[0], args)
+        def body(j, acc):
+            aux_j = jax.tree_util.tree_map(lambda t: t[j], aux_stack)
+            _, vjp = jax.vjp(lambda a: block_contrib(a, j, aux_j)[0], args)
             (gi,) = vjp(g)
             return jax.tree_util.tree_map(jnp.add, acc, gi)
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, args)
-        return (jax.lax.fori_loop(0, n_steps, body, zero),)
+        return (jax.lax.fori_loop(0, n_blocks, body, zero),)
 
     run.defvjp(fwd, bwd)
     return run(args)
@@ -641,6 +666,7 @@ def env_shade(
     shadow_scale: float = 1.0,
     visibility_fn: Callable | None = None,
     light_pool: int = 4096,
+    mc_block: int = 8,
 ) -> ShadeBuffers:
     """Estimate (demodulated diffuse, specular) radiance per pixel.
 
@@ -808,7 +834,7 @@ def env_shade(
     init_of = lambda a: jnp.concatenate(
         [jnp.zeros_like(a["gb_pos"]), jnp.zeros_like(a["gb_pos"])], -1
     )
-    acc = _mc_accumulate(step_contrib, n2, args, init_of)
+    acc = _mc_accumulate(step_contrib, n2, args, init_of, block=mc_block)
     diff_acc, spec_acc = acc[:, :3], acc[:, 3:]
 
     m = mask.reshape(p, 1).astype(diff_acc.dtype)

@@ -77,6 +77,9 @@ class RenderFlags(NamedTuple):
     # black) and counted in buffers['n_px_dropped'] — same observable-
     # budget contract as the raster max_pairs. None → exact full-image path.
     shade_budget: float | None = None
+    # MC steps evaluated per shade-loop iteration (vmapped) — see
+    # ops.shade._mc_accumulate
+    mc_block: int = 8
 
 
 def render_mesh(
@@ -308,6 +311,7 @@ def render_mesh(
             bsdf=bsdf,
             shadow_scale=shadow_scale,
             visibility_fn=visibility_fn,
+            mc_block=flags.mc_block,
         )
         if idx_c is not None:
             ds = _scatter(jnp.concatenate([out.diffuse, out.specular], -1), 6)
@@ -508,6 +512,7 @@ def render_second_layer(
         kd_s, ks_s, light,
         n_samples_x=flags.n_samples, bsdf=flags.bsdf,
         shadow_scale=shadow_scale, visibility_fn=visibility_fn,
+        mc_block=flags.mc_block,
     )
     kd_m_s = kd_s * (1.0 - ks_s[..., 2:3])
     shaded_rows = out.diffuse * kd_m_s + out.specular  # (Ps, 3)
