@@ -146,6 +146,7 @@ def run_config(quick, res, grid, n_samples, batch):
                 "value": round(ips, 4),
                 "unit": "iters/sec",
                 "vs_baseline": round(ips / baseline_a100, 4),
+                "compile_sec": round(compile_time, 1),
             }
         )
     )
