@@ -728,6 +728,13 @@ def env_shade(
         vis_cfg, vis_consts = visibility_fn
     else:
         vis_cfg, vis_consts = None, {}
+    wo_pre = safe_normalize(view_pos - gb_pos)
+    alpha_pre = ks[..., 1:2] * ks[..., 1:2]
+    p_diffuse_pre = (
+        jnp.ones_like(alpha_pre)
+        if diffuse_only
+        else _pixel_probabilities(kd, ks, wo_pre, gb_normal)
+    )
     args = {
         "ro": ro,
         "gb_pos": gb_pos,
@@ -735,6 +742,9 @@ def env_shade(
         "view_pos": view_pos,
         "kd": kd,
         "ks": ks,
+        "wo": wo_pre,
+        "alpha": alpha_pre,
+        "p_diffuse": p_diffuse_pre,
         "pool": pool,
         "light_packed": light_packed,
         "rot": rot,
@@ -749,13 +759,10 @@ def env_shade(
         rot = a["rot"]
         k_loop = _key_from_float(a["key_bits"])
         shadow_scale_t = a["shadow_scale"]
-        wo = safe_normalize(a["view_pos"] - a["gb_pos"])
-        alpha = ks[..., 1:2] * ks[..., 1:2]
-        p_diffuse = (
-            jnp.ones_like(alpha)
-            if diffuse_only
-            else _pixel_probabilities(kd, ks, wo, gb_normal)
-        )
+        # step-invariants travel through args (computed ONCE outside the
+        # loop; their cotangents accumulate across steps and chain upstream
+        # through the custom-VJP args gradient)
+        wo, alpha, p_diffuse = a["wo"], a["alpha"], a["p_diffuse"]
 
         def eval_sample(ray_dir, pdf_sum, vis, light_col):
             mis = 1.0 / jnp.maximum(pdf_sum, 1e-4)

@@ -80,6 +80,13 @@ class RenderFlags(NamedTuple):
     # MC steps evaluated per shade-loop iteration (vmapped) — see
     # ops.shade._mc_accumulate
     mc_block: int = 8
+    # Fraction of (compacted) pixels that take the SECOND, world-jittered
+    # material tap feeding the kd/ks smoothness regularizers (ref
+    # render.py:68-74). The regularizer is a mean, so a random strided
+    # subset scaled by 1/frac is an unbiased estimator — and the tap is
+    # already stochastic (fresh jitter noise each step). 1.0 = tap every
+    # pixel. Only active together with shade_budget compaction.
+    jitter_tap_frac: float = 0.25
 
 
 def render_mesh(
@@ -252,17 +259,41 @@ def render_mesh(
         # foreground pixels — the hash grid is the hottest per-pixel
         # gather (128 rows/point) in the whole step.
         pos_m = _compact(gb_pos) if idx_c is not None else gb_pos.reshape(p_full, 3)
-        jit_pos = pos_m + flags.jitter_std * jax.random.normal(k_jit, pos_m.shape)
-        both = sample_mlp_texture(
-            mat_params, mat_cfg,
-            jnp.stack([pos_m, jit_pos], axis=0),
-            key=k_tex,
-        )
-        tex_rows = jnp.concatenate([both[0], jnp.abs(both[1] - both[0])], -1)
-        tex_img = (
-            _scatter(tex_rows, 12) if idx_c is not None
-            else tex_rows.reshape(h, w, 12)
-        )
+        if idx_c is not None and flags.jitter_tap_frac < 1.0:
+            # jitter tap on a random strided subset (see jitter_tap_frac)
+            n_sl = pos_m.shape[0]
+            pj = min(n_sl, max(1024, int(n_sl * flags.jitter_tap_frac) // 256 * 256))
+            stride = n_sl // pj
+            off = jax.random.randint(k_texj, (), 0, n_sl)
+            sel = (off + jnp.arange(pj, dtype=jnp.int32) * stride) % n_sl
+            pos_j = pos_m[sel] + flags.jitter_std * jax.random.normal(
+                k_jit, (pj, 3)
+            )
+            both = sample_mlp_texture(
+                mat_params, mat_cfg,
+                jnp.concatenate([pos_m, pos_j], axis=0),
+                key=k_tex,
+            )
+            tex_main, tex_j = both[:n_sl], both[n_sl:]
+            grad_rows = jnp.abs(tex_j - tex_main[sel]) * (n_sl / pj)
+            tex_rows = jnp.concatenate(
+                [tex_main, jnp.zeros((n_sl, 6), tex_main.dtype)], -1
+            ).at[sel, 6:].set(grad_rows)
+            tex_img = _scatter(tex_rows, 12)
+        else:
+            jit_pos = pos_m + flags.jitter_std * jax.random.normal(
+                k_jit, pos_m.shape
+            )
+            both = sample_mlp_texture(
+                mat_params, mat_cfg,
+                jnp.stack([pos_m, jit_pos], axis=0),
+                key=k_tex,
+            )
+            tex_rows = jnp.concatenate([both[0], jnp.abs(both[1] - both[0])], -1)
+            tex_img = (
+                _scatter(tex_rows, 12) if idx_c is not None
+                else tex_rows.reshape(h, w, 12)
+            )
         kd, ks = tex_img[..., 0:3], tex_img[..., 3:6]
         kd_grad = tex_img[..., 6:9] * mask
         ks_grad = tex_img[..., 9:12] * omit_o * mask

@@ -86,6 +86,10 @@ class Flags:
     # foreground-pixel compaction budget (fraction of pixels shaded; None →
     # exact full-image path). Overflow is counted in the px_dropped metric.
     shade_budget: Optional[float] = 0.5
+    # multi-view render mode in tick: 'map' (residuals kept — fastest when
+    # it fits), 'map_remat' (per-view backward re-render — lowest memory),
+    # 'vmap' (XLA batches the whole pipeline)
+    view_batch_mode: str = "map_remat"
 
     def apply_json(self, path: str) -> "Flags":
         data = json.load(open(path))

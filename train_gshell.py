@@ -88,6 +88,7 @@ def main():
         use_img_2nd_layer=flags.use_img_2nd_layer,
         use_depth_2nd_layer=flags.use_depth_2nd_layer,
         total_iters=flags.iter,
+        view_batch_mode=flags.view_batch_mode,
     )
     if flags.use_flexicubes or args.flexicubes:
         from gshell_tpu.geometry.flexi_geometry import (
