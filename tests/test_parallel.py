@@ -311,3 +311,19 @@ def test_banded_train_step_runs():
     assert any(
         np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(d_sh, d0)
     )
+
+
+@pytest.mark.slow
+def test_banded_train_step_with_shade_budget():
+    """Banded (view × band) sharding composes with foreground compaction:
+    each band compacts its own pixels, px_dropped psums across shards."""
+    from gshell_tpu.train.reconstruct import Reconstructor, TrainConfig
+
+    geo, mat_cfg, flags, target, mesh = _banded_setup()
+    flags = flags._replace(shade_budget=0.75)
+    tcfg = TrainConfig(batch=2, use_shadows=False)
+    rec = Reconstructor(geo, mat_cfg, flags, tcfg, mesh=mesh)
+    state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=0)
+    state, m = rec.train_step(state, jax.random.PRNGKey(5), target)
+    assert np.isfinite(float(m["total"]))
+    assert int(m["px_dropped"]) >= 0
