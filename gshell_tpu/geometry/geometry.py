@@ -70,6 +70,11 @@ class GeometryConfig:
     #   'map'       — sequential lax.map, residuals kept (faster, more HBM)
     #   'vmap'      — vmap over views (XLA batches the whole pipeline)
     view_batch_mode: str = "map_remat"
+    # Shard the extractor's per-slot stages over the spatial mesh (GSPMD
+    # constraints; see GShellTets.__call__ shard_mesh). Only active when a
+    # spatial mesh is passed to tick; measured no compile-time penalty on
+    # the 8-device CPU mesh and bitwise-equal losses.
+    shard_extraction: bool = True
     # extraction capacities (None → default O(res²) budget)
     max_tets: Optional[int] = None
     max_verts: Optional[int] = None
@@ -209,6 +214,7 @@ class GShellGeometry:
         mesh = self.extractor(
             v_def, sdf, msdf, watertight_template=True,
             compute_aug_normals=False, compute_tangents=False,
+            shard_mesh=spatial_mesh if cfg.shard_extraction else None,
         )
         # Compact the slot-addressed face buffer (4 slots/tet, ~2.2 real)
         # before rasterization — the coverage scan costs per SLOT — and

@@ -446,6 +446,7 @@ class GShellTets:
         watertight_template: bool = True,
         compute_aug_normals: bool = True,
         compute_tangents: bool = True,
+        shard_mesh=None,
     ) -> GShellMesh:
         """Extract the open-surface mesh.  Fully jittable.
 
@@ -460,6 +461,15 @@ class GShellTets:
             gathers; the training path re-randomizes tangents per pixel
             (ref render.py:264-267, use_uv=False) and never reads them, so
             tick() passes False and ``v_tng`` comes back zero.
+          shard_mesh: optional ``jax.sharding.Mesh``. The per-SLOT stages
+            (template-vertex interpolation over V crossing-edge slots, the
+            mSDF cut + face emission over MT tet slots — the extraction
+            "tail" that dominates at large grids) are annotated sharded
+            over the mesh's flattened device axes via
+            ``with_sharding_constraint``; the O(res³) compaction stays
+            replicated and the mesh outputs are constrained replicated, so
+            GSPMD partitions the slot work across devices and inserts ONE
+            all_gather of each output buffer (≈10 MB over ICI at res 256).
         """
         N = self.n_grid_verts
         E = self.n_grid_edges
@@ -495,6 +505,25 @@ class GShellTets:
             None if msdf_vol is None else msdf_vol.reshape(-1),
         )
 
+        if shard_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            _ax = tuple(shard_mesh.axis_names)
+
+            def _rows(t):
+                spec = _P(_ax, *([None] * (t.ndim - 1)))
+                return jax.lax.with_sharding_constraint(
+                    t, NamedSharding(shard_mesh, spec)
+                )
+
+            _rep_sh = NamedSharding(shard_mesh, _P())
+        else:
+            _rows = lambda t: t
+            _rep_sh = None
+        tet_valid = _rows(tet_valid)
+        corner_xyz = _rows(corner_xyz)
+        corner_vid = _rows(corner_vid)
+
         # ---- crossing edges → template vertices (ref :266-290) --------
         # Crossing edges are compacted hierarchically too: a crossing edge's
         # lower corner is adjacent to an active cube, so compact the DILATED
@@ -506,6 +535,8 @@ class GShellTets:
         slot_valid, ev0, ev1, _, _, vert_slot_of_edges = self.compact_edges(
             occ_flat, cube_act
         )
+        slot_valid = _rows(slot_valid)
+        ev0, ev1 = _rows(ev0), _rows(ev1)
 
         pa, pb = pos_p[ev0], pos_p[ev1]
         sa, sb = sdf_p[ev0], sdf_p[ev1]
@@ -658,6 +689,17 @@ class GShellTets:
             v_nrm_aug = auto_normals(verts_aug, faces_aug, face_valid)
         else:
             v_nrm_aug = jnp.zeros_like(verts_aug)
+
+        if _rep_sh is not None:
+            # one all_gather per output buffer; downstream (raster, banded
+            # render consts) consumes them replicated
+            _rep = lambda t: jax.lax.with_sharding_constraint(t, _rep_sh)
+            verts_aug, faces_aug, face_valid = map(
+                _rep, (verts_aug, faces_aug, face_valid)
+            )
+            v_nrm_aug, v_tng_aug, msdf_aug = map(
+                _rep, (v_nrm_aug, v_tng_aug, msdf_aug)
+            )
 
         return GShellMesh(
             verts=verts_aug,
