@@ -371,6 +371,12 @@ class DatasetMesh(PosedImageDataset):
         super().__init__()
         from ..render.render import render_mesh, render_second_layer
 
+        # GROUND TRUTH must be exact: the training-time budget knobs
+        # (foreground compaction, subsampled jitter tap) would silently
+        # corrupt the target (overflow pixels render black) — force the
+        # exact full-image path for GT generation.
+        flags = flags._replace(shade_budget=None, jitter_tap_frac=1.0)
+
         rng = np.random.default_rng(seed)
         h, w = flags.resolution
         mvps, camposs, imgs = [], [], []

@@ -124,8 +124,14 @@ class GShellFlexiGeometry:
 
     def tick(self, key, params, mat_params, mat_cfg, light, target, iteration,
              flags: RenderFlags, image_loss_fn, visibility_fn=None,
-             shadow_scale=1.0, denoiser_sigma=2.0):
+             shadow_scale=1.0, denoiser_sigma=2.0, spatial_mesh=None):
         """Same loss structure as GShellGeometry.tick + L_dev×0.25 (ref :358)."""
+        if spatial_mesh is not None:
+            raise NotImplementedError(
+                "banded (view × band) sharding is implemented for the tets "
+                "geometry only — construct Reconstructor without mesh= for "
+                "FlexiCubes"
+            )
         cfg = self.cfg
         mesh = self.get_mesh(params, training=True)
         v_def, sdf, msdf = self.fields(params)
@@ -179,28 +185,11 @@ class GShellFlexiGeometry:
             jnp.abs(jnp.clip(msdf_img, max=0.0) * (gt_mask == 1) - 1.0)
         )
 
-        # Second-layer image loss (ref gshell_flexicubes_geometry.py:266-270)
-        if cfg.use_img_2nd_layer and "img_second" in target:
-            ref2 = target["img_second"]
-            sh2 = buffers["shaded_second"]
-            img_loss += jnp.mean((sh2[..., 3:] - ref2[..., 3:]) ** 2)
-            img_loss += image_loss_fn(
-                sh2[..., 0:3] * ref2[..., 3:], ref2[..., 0:3] * ref2[..., 3:]
-            )
-
-        # Depth losses (ref :272-279, scale 100 / 0.1×100)
-        depth_loss = jnp.asarray(0.0)
-        if cfg.use_depth and "invdepth" in target:
-            depth_loss += 100.0 * jnp.mean(
-                jnp.abs(buffers["invdepth"][..., 0:1] - target["invdepth"][..., 0:1])
-            )
-            if cfg.use_depth_2nd_layer and "invdepth_second" in target:
-                depth_loss += 10.0 * jnp.mean(
-                    jnp.abs(
-                        buffers["invdepth_second"][..., 0:1]
-                        - target["invdepth_second"][..., 0:1]
-                    )
-                )
+        # Second-layer image + depth losses (ref :266-279; shared helper)
+        img_extra, depth_loss = reg.second_layer_and_depth_losses(
+            cfg, buffers, target, image_loss_fn
+        )
+        img_loss += img_extra
 
         # Eikonal on surface samples (ref gshell_flexicubes_geometry.py:284-300)
         if cfg.use_sdf_mlp and cfg.use_eikonal:
@@ -278,7 +267,8 @@ class GShellFlexiGeometry:
             "n_surf_cubes": mesh.n_surf_cubes,
             "n_faces": n_faces,
             "raster_dropped": jnp.sum(buffers["n_raster_dropped"]),
-            "px_dropped": jnp.sum(buffers.get("n_px_dropped", jnp.zeros((), jnp.int32))),
+            "px_dropped": jnp.sum(buffers.get("n_px_dropped", jnp.zeros((), jnp.int32)))
+            + jnp.sum(buffers.get("n_px_dropped_second", jnp.zeros((), jnp.int32))),
             "l_dev": mesh.l_dev,
             "sdf_reg": sdf_reg,
             "eik_loss": eik_loss,

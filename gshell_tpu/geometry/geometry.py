@@ -274,6 +274,12 @@ class GShellGeometry:
             # gradients (the NCCL-all-reduce analogue).
             from ..parallel.spatial import render_batch_banded
 
+            if visibility_fn is not None and not isinstance(visibility_fn, tuple):
+                raise TypeError(
+                    "the banded path needs visibility_fn as a (cfg, consts) "
+                    "tuple (the traced consts travel through shard_map); a "
+                    "bare callable cannot cross the shard boundary"
+                )
             vis_cfg = visibility_fn[0] if isinstance(visibility_fn, tuple) else None
             consts = {
                 "verts": mesh.verts,
@@ -312,13 +318,13 @@ class GShellGeometry:
                 flags.resolution,
             )
         else:
-            render_fn = lambda args: render_one(*args)
             mode = cfg.view_batch_mode
             if mode == "vmap":
                 buffers = jax.vmap(render_one)(
                     k_render, target["mvp"], target["campos"], target["background"]
                 )
             else:
+                render_fn = lambda args: render_one(*args)
                 if mode == "map_remat" and target["mvp"].shape[0] > 1:
                     render_fn = jax.checkpoint(render_fn)
                 buffers = jax.lax.map(
@@ -344,30 +350,11 @@ class GShellGeometry:
             jnp.abs(jnp.clip(msdf_img, max=0.0) * (gt_mask == 1) - 1.0)
         )
 
-        # Second-layer image loss (ref use_img_2nd_layer, :287-291)
-        if cfg.use_img_2nd_layer and "img_second" in target:
-            ref2 = target["img_second"]
-            sh2 = buffers["shaded_second"]
-            img_loss += jnp.mean((sh2[..., 3:] - ref2[..., 3:]) ** 2)
-            img_loss += image_loss_fn(
-                sh2[..., 0:3] * ref2[..., 3:], ref2[..., 0:3] * ref2[..., 3:]
-            )
-
-        # Depth losses (ref use_depth/use_depth_2nd_layer, :293-299; scale 100)
-        depth_loss = jnp.asarray(0.0)
-        if cfg.use_depth and "invdepth" in target:
-            depth_loss += 100.0 * jnp.mean(
-                jnp.abs(
-                    buffers["invdepth"][..., 0:1] - target["invdepth"][..., 0:1]
-                )
-            )
-            if cfg.use_depth_2nd_layer and "invdepth_second" in target:
-                depth_loss += 0.1 * 100.0 * jnp.mean(
-                    jnp.abs(
-                        buffers["invdepth_second"][..., 0:1]
-                        - target["invdepth_second"][..., 0:1]
-                    )
-                )
+        # Second-layer image + depth losses (ref :287-299; shared helper)
+        img_extra, depth_loss = reg.second_layer_and_depth_losses(
+            cfg, buffers, target, image_loss_fn
+        )
+        img_loss += img_extra
 
         # Eikonal (ref :302-324)
         if cfg.use_sdf_mlp and cfg.use_eikonal:
@@ -457,7 +444,8 @@ class GShellGeometry:
             "n_faces": n_faces,
             "n_crossing_edges": mesh.n_crossing_edges,
             "raster_dropped": jnp.sum(buffers["n_raster_dropped"]),
-            "px_dropped": jnp.sum(buffers.get("n_px_dropped", jnp.zeros((), jnp.int32))),
+            "px_dropped": jnp.sum(buffers.get("n_px_dropped", jnp.zeros((), jnp.int32)))
+            + jnp.sum(buffers.get("n_px_dropped_second", jnp.zeros((), jnp.int32))),
             "sdf_reg": sdf_reg,
             "eik_loss": eik_loss,
             "msdf_reg": msdf_reg,

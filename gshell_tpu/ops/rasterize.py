@@ -40,8 +40,11 @@ class Rast(NamedTuple):
     # triangles silently dropped by the fixed-capacity binning.  The
     # reference's hardware raster is exact; a fixed-budget TPU raster must
     # surface saturation instead (a saturated budget shows up as silhouette
-    # holes).  0 for the exact scan path.
-    dropped: jax.Array = jnp.zeros((), jnp.int32)
+    # holes).  0 for the exact scan path.  (Default is a PYTHON int so the
+    # class definition never runs a JAX computation at import time — a
+    # device-array default would initialize the backend as an import side
+    # effect, breaking jax.distributed.initialize()-after-import flows.)
+    dropped: jax.Array | int = 0
 
 
 _W_EPS = 1e-6
@@ -629,7 +632,7 @@ def rasterize_tiled(
 
 def _stitch_tiles(
     best_z, best_id, v_clip, faces, h, w, ty_n, tx_n, tile,
-    dropped=jnp.zeros((), jnp.int32),
+    dropped=0,
 ) -> Rast:
     """(n_tiles, tile²) per-tile winners → image-layout :class:`Rast`."""
     best_z = best_z.reshape(ty_n, tx_n, tile, tile).transpose(0, 2, 1, 3).reshape(h, w)

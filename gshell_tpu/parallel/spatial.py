@@ -129,6 +129,7 @@ def render_batch_banded(
         counters = {
             "n_raster_dropped": jnp.zeros((), jnp.int32),
             "n_px_dropped": jnp.zeros((), jnp.int32),
+            "n_px_dropped_second": jnp.zeros((), jnp.int32),
         }
         for name, v in bufs.items():
             if name == "visible_vert_mask":

@@ -159,3 +159,31 @@ def sdf_reg_loss_lattice(sdf_vol):
         num = num + (per_edge * mask).sum()
         cnt = cnt + mask.sum()
     return num / jnp.maximum(cnt, 1.0)
+
+
+def second_layer_and_depth_losses(cfg, buffers, target, image_loss_fn):
+    """Second-layer image loss + (second-)depth L1 terms, shared by the tets
+    and FlexiCubes ticks (ref gshell_tets_geometry.py:287-299 /
+    gshell_flexicubes_geometry.py:266-279).  Returns
+    ``(img_loss_extra, depth_loss)``."""
+    img_extra = jnp.asarray(0.0)
+    if cfg.use_img_2nd_layer and "img_second" in target:
+        ref2 = target["img_second"]
+        sh2 = buffers["shaded_second"]
+        img_extra += jnp.mean((sh2[..., 3:] - ref2[..., 3:]) ** 2)
+        img_extra += image_loss_fn(
+            sh2[..., 0:3] * ref2[..., 3:], ref2[..., 0:3] * ref2[..., 3:]
+        )
+    depth_loss = jnp.asarray(0.0)
+    if cfg.use_depth and "invdepth" in target:
+        depth_loss += 100.0 * jnp.mean(
+            jnp.abs(buffers["invdepth"][..., 0:1] - target["invdepth"][..., 0:1])
+        )
+        if cfg.use_depth_2nd_layer and "invdepth_second" in target:
+            depth_loss += 10.0 * jnp.mean(
+                jnp.abs(
+                    buffers["invdepth_second"][..., 0:1]
+                    - target["invdepth_second"][..., 0:1]
+                )
+            )
+    return img_extra, depth_loss

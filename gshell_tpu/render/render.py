@@ -89,6 +89,26 @@ class RenderFlags(NamedTuple):
     jitter_tap_frac: float = 0.25
 
 
+def _fg_compact_idx(tri_id: jax.Array, p_full: int, budget: float | None):
+    """Foreground-compaction index for a ``shade_budget`` fraction.
+
+    Returns ``(idx (n_slots,) | None, px_dropped scalar)``.  Stable sort ⇒
+    foreground pixels first, in raster order; the index set is a permutation
+    prefix (all-distinct), so scatter-backs never collide.  ``None`` when the
+    budget covers the full image (exact path)."""
+    if budget is None:
+        return None, jnp.zeros((), jnp.int32)
+    n_slots = min(p_full, -(-int(p_full * budget) // 1024) * 1024)
+    if n_slots >= p_full:
+        return None, jnp.zeros((), jnp.int32)
+    fg_flat = (tri_id > 0).reshape(p_full)
+    idx = jax.lax.stop_gradient(
+        jnp.argsort(jnp.logical_not(fg_flat), stable=True)[:n_slots]
+    )
+    dropped = jnp.maximum(0, jnp.sum(fg_flat.astype(jnp.int32)) - n_slots)
+    return idx, dropped
+
+
 def render_mesh(
     key: jax.Array,
     verts: jax.Array,
@@ -185,21 +205,7 @@ def render_mesh(
 
     # ---- foreground-pixel compaction (RenderFlags.shade_budget) --------
     p_full = h * w
-    idx_c = None
-    px_dropped = jnp.zeros((), jnp.int32)
-    if flags.shade_budget is not None:
-        n_slots = min(p_full, -(-int(p_full * flags.shade_budget) // 1024) * 1024)
-        if n_slots < p_full:
-            fg_flat = (rast.tri_id > 0).reshape(p_full)
-            # Stable sort ⇒ foreground pixels first, in raster order; the
-            # index set is a permutation prefix (all-distinct), so the
-            # scatter-back below never collides.
-            idx_c = jax.lax.stop_gradient(
-                jnp.argsort(jnp.logical_not(fg_flat), stable=True)[:n_slots]
-            )
-            px_dropped = jnp.maximum(
-                0, jnp.sum(fg_flat.astype(jnp.int32)) - n_slots
-            )
+    idx_c, px_dropped = _fg_compact_idx(rast.tri_id, p_full, flags.shade_budget)
 
     def _compact(img_c):
         """(H, W, C) → (n_slots, C) rows at the compacted pixels."""
@@ -520,14 +526,7 @@ def render_second_layer(
         two_sided_shading=True, opengl=True,
     )
     p = h * w
-    idx_c = None
-    if flags.shade_budget is not None:
-        n_slots = min(p, -(-int(p * flags.shade_budget) // 1024) * 1024)
-        if n_slots < p:
-            fg_flat = (rast2.tri_id > 0).reshape(p)
-            idx_c = jax.lax.stop_gradient(
-                jnp.argsort(jnp.logical_not(fg_flat), stable=True)[:n_slots]
-            )
+    idx_c, px_dropped2 = _fg_compact_idx(rast2.tri_id, p, flags.shade_budget)
     if idx_c is not None:
         packed = jnp.concatenate([gb_pos, gb_normal, mask], -1).reshape(p, 7)[idx_c]
         pos_s, nrm_s, mask_s = packed[:, 0:3], packed[:, 3:6], packed[:, 6:7]
@@ -566,4 +565,6 @@ def render_second_layer(
         "invdepth_second": jnp.concatenate(
             [(1.0 / dist) * mask, jnp.ones_like(mask)], -1
         ),
+        # second-layer budget overflow, surfaced like the first layer's
+        "n_px_dropped_second": px_dropped2,
     }
