@@ -26,6 +26,10 @@ def main():
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--testset-path", type=str, default=None)
     p.add_argument("--gt-mesh", type=str, default=None)
+    p.add_argument("--synthetic-ref-mesh", type=str, default=None,
+                   help="held-out PSNR for synthetic runs: rebuilds the GT "
+                   "DatasetMesh (same seeded GT light/material as "
+                   "train_gshell.py) with a DIFFERENT view seed")
     p.add_argument("--out-dir", type=str, default="out/validate")
     p.add_argument("--n-views", type=int, default=None)
     args = p.parse_args()
@@ -45,6 +49,11 @@ def main():
     params_geo = state.params_geo if hasattr(state, "params_geo") else state["params_geo"]
     params_mat = state.params_mat if hasattr(state, "params_mat") else state["params_mat"]
     light_base = state.light_base if hasattr(state, "light_base") else state["light_base"]
+    # state.pkl stores numpy leaves; convert so closure constants can be
+    # indexed by tracers (numpy_array[BatchTracer] raises)
+    params_geo, params_mat, light_base = jax.tree_util.tree_map(
+        jnp.asarray, (params_geo, params_mat, light_base)
+    )
 
     gcfg = GeometryConfig(
         grid_res=flags.gshell_grid,
@@ -75,16 +84,8 @@ def main():
     mesh = jax.jit(geo.get_mesh)(params_geo)
 
     results = {}
-    if args.testset_path:
-        try:
-            ds = DatasetDeepFashionTestset(
-                args.testset_path,
-                os.path.join(args.testset_path, "masks"),
-                train_res=tuple(flags.train_res),
-            )
-        except Exception:
-            ds = DatasetDeepFashion(args.testset_path, train_res=tuple(flags.train_res))
 
+    def _render_batch_fn():
         @jax.jit
         def render_batch(batch):
             def one(k, mvp, campos, bg):
@@ -95,9 +96,48 @@ def main():
                 )
 
             keys = jax.random.split(jax.random.PRNGKey(0), batch["mvp"].shape[0])
-            return jax.vmap(one)(keys, batch["mvp"], batch["campos"], batch["background"])
+            return jax.vmap(one)(
+                keys, batch["mvp"], batch["campos"], batch["background"]
+            )
 
-        metrics = validate(render_batch, ds, out_dir=args.out_dir, n_views=args.n_views)
+        return render_batch
+
+    if args.synthetic_ref_mesh:
+        # Held-out synthetic views: GT light/material seeds match
+        # train_gshell.py's synthetic path (42/43); view seed differs.
+        from gshell_tpu.data.datasets import DatasetMesh
+        from gshell_tpu.render.light import create_trainable_env_rnd
+        from gshell_tpu.render.material import init_mlp_texture
+        from gshell_tpu.render.mesh import load_obj, unit_size
+
+        gt_mesh = unit_size(load_obj(args.synthetic_ref_mesh))
+        gt_light = create_trainable_env_rnd(jax.random.PRNGKey(42), 256)
+        gt_mat = init_mlp_texture(jax.random.PRNGKey(43), mat_cfg)
+        ds = DatasetMesh(
+            gt_mesh, gt_light, gt_mat, mat_cfg, rflags,
+            n_views=args.n_views or 16, seed=777,
+        )
+        metrics = validate(
+            _render_batch_fn(), ds, out_dir=args.out_dir,
+            n_views=args.n_views or 16,
+        )
+        print(f"held-out synthetic PSNR: {metrics['psnr']:.3f}  "
+              f"MSE: {metrics['mse']:.6f}")
+        results.update(metrics)
+
+    if args.testset_path:
+        try:
+            ds = DatasetDeepFashionTestset(
+                args.testset_path,
+                os.path.join(args.testset_path, "masks"),
+                train_res=tuple(flags.train_res),
+            )
+        except Exception:
+            ds = DatasetDeepFashion(args.testset_path, train_res=tuple(flags.train_res))
+
+        metrics = validate(
+            _render_batch_fn(), ds, out_dir=args.out_dir, n_views=args.n_views
+        )
         print(f"PSNR: {metrics['psnr']:.3f}  MSE: {metrics['mse']:.6f}")
         results.update(metrics)
 
