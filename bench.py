@@ -42,6 +42,29 @@ def main():
     # point) runs directly.
     import subprocess
 
+    # Pre-flight: the tunnel pool can be wedged for a while after a client
+    # died mid-device-call (claims expire server-side).  Probe with a tiny
+    # program and wait out a recovering chip instead of burning the ladder's
+    # long timeouts against a dead claim path.
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "np.asarray((jnp.ones((64,64))@jnp.ones((64,64))).ravel()[:1]);"
+        "print('ok')"
+    )
+    for attempt in range(8):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=240,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# TPU probe failed (attempt {attempt + 1}/8); waiting",
+              file=sys.stderr, flush=True)
+        time.sleep(180)
+
     # The reference working point (512²/spp8/b2) fits and completes under
     # the dev-tunnel watchdog since the round-2 optimizations (per-view
     # remat + padded-layout fixes); lower rungs remain as fallbacks.
