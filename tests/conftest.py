@@ -16,3 +16,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-bound on this single-core
+# box (full train-step compiles take minutes); repeated runs hit the cache.
+from gshell_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/root/.cache/gshell_jax_cache_tests")
