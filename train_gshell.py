@@ -182,6 +182,9 @@ def main():
             )
         if flags.save_interval and it > 0 and it % flags.save_interval == 0:
             _save_mesh(geo, state, flags.out_dir, it)
+            _save_snapshot_image(
+                geo, state, mat_cfg, rflags, target, flags.out_dir, it
+            )
 
     _save_mesh(geo, state, flags.out_dir, flags.iter)
     _save_state(state, flags.out_dir)
@@ -228,6 +231,34 @@ def _bake_texture(geo, state, mat_cfg, out_dir, res):
             "newmtl baked\nbsdf pbr\nmap_Kd texture_kd.png\nmap_Ks texture_ks.png\n"
         )
     print(f"baked {res}x{res} kd/ks atlases -> {out_dir}")
+
+
+def _save_snapshot_image(geo, state, mat_cfg, rflags, target, out_dir, it):
+    """Training-progress image dump (ref train_gshelltet_deepfashion.py
+    :377-393 img_*.png snapshots): render the current model on the batch's
+    first camera, save [render | reference] side by side as sRGB PNG."""
+    import jax.numpy as jnp
+
+    from gshell_tpu.ops.math import rgb_to_srgb
+    from gshell_tpu.render.light import update_pdf
+    from gshell_tpu.render.render import render_mesh
+    from gshell_tpu.utils.image import save_image
+
+    mesh = jax.jit(geo.get_mesh)(state.params_geo)
+    buf = render_mesh(
+        jax.random.PRNGKey(it), mesh.verts, mesh.faces, mesh.v_nrm, mesh.msdf,
+        state.params_mat, mat_cfg, target["mvp"][0], target["campos"][0],
+        update_pdf(state.light_base), rflags,
+        background=target["background"][0], shadow_scale=0.0,
+    )
+    opt = np.asarray(jnp.clip(rgb_to_srgb(buf["shaded"][..., 0:3]), 0.0, 1.0))
+    ref = np.asarray(
+        jnp.clip(rgb_to_srgb(target["img"][0, ..., 0:3]), 0.0, 1.0)
+    )
+    save_image(
+        os.path.join(out_dir, f"img_{it:06d}.png"),
+        np.concatenate([opt, ref], axis=1),
+    )
 
 
 def _save_mesh(geo, state, out_dir, it):
