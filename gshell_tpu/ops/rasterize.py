@@ -479,8 +479,12 @@ def rasterize_tiled(
     if max_pairs is None:
         # f·n_tiles is the exact worst case (every triangle covers every
         # tile) and is affordable for small meshes; for large face counts
-        # fall back to 4 pairs/triangle (tiny screen-space triangles).
-        max_pairs = min(f * n_tiles, max(4 * f, 4096))
+        # fall back to 8 pairs/triangle.  (4·f measurably overflowed at
+        # 128²/55k-slot meshes — triangles span proportionally more tiles
+        # at low resolution — and the dropped pairs punched persistent
+        # silhouette holes that fragmented the reconstruction.  The
+        # n_raster_dropped counter observes any remaining saturation.)
+        max_pairs = min(f * n_tiles, max(8 * f, 4096))
 
     sx, sy, z, inv_w, tri_ok = _tri_screen(v_clip, faces, h, w)
     a, b, c, area2 = _edge_coeffs(sx, sy)

@@ -90,6 +90,9 @@ class Flags:
     # it fits), 'map_remat' (per-view backward re-render — lowest memory),
     # 'vmap' (XLA batches the whole pipeline)
     view_batch_mode: str = "map_remat"
+    # tiled-raster budgets (None → auto); overflow shows in raster_dropped
+    max_pairs: Optional[int] = None
+    max_per_tile: int = 1024
 
     def apply_json(self, path: str) -> "Flags":
         data = json.load(open(path))

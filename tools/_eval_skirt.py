@@ -1,6 +1,14 @@
 """Chamfer + open-surface check of the skirt quality run."""
+import os
 import sys
-import jax, jax.numpy as jnp, numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+# 20k-sample chamfer needs no accelerator; stay off the (possibly claimed)
+# TPU tunnel — the env var alone does not force CPU here, jax.config does.
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp, numpy as np
 
 mesh_path, gt_path = sys.argv[1], sys.argv[2]
 

@@ -120,6 +120,8 @@ def main():
         use_denoiser=flags.denoiser == "bilateral",
         denoiser_demodulate=flags.denoiser_demodulate,
         shade_budget=flags.shade_budget,
+        max_pairs=flags.max_pairs,
+        max_per_tile=flags.max_per_tile,
     )
     lr_pos, lr_mat, lr_lgt = learning_rates(flags)
     tcfg = TrainConfig(
