@@ -32,6 +32,12 @@ def main():
                    "train_gshell.py) with a DIFFERENT view seed")
     p.add_argument("--out-dir", type=str, default="out/validate")
     p.add_argument("--n-views", type=int, default=None)
+    p.add_argument("--gt-unit-size", action="store_true",
+                   help="unit_size-normalize --gt-mesh before the Chamfer "
+                   "(REQUIRED for synthetic runs: DatasetMesh trains against "
+                   "the unit_size'd GT, so the reconstruction lives in that "
+                   "frame; omit for datasets whose GT is already in scene "
+                   "units, e.g. DeepFashion3D)")
     args = p.parse_args()
 
     from gshell_tpu.data.datasets import DatasetDeepFashionTestset, DatasetDeepFashion
@@ -145,6 +151,8 @@ def main():
         from gshell_tpu.render.mesh import load_obj, unit_size
 
         gt = load_obj(args.gt_mesh)
+        if args.gt_unit_size or args.synthetic_ref_mesh:
+            gt = unit_size(gt)
         cd = chamfer_distance(
             jax.random.PRNGKey(1),
             mesh.verts, mesh.faces, gt.v_pos, gt.t_pos_idx,

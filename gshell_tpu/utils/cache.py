@@ -8,6 +8,11 @@ import os
 def enable_compilation_cache(path: str = "/root/.cache/gshell_jax_cache"):
     import jax
 
+    # Opt-out: cached executables can be AOT-compiled on a DIFFERENT machine
+    # (remote-compile environments) — a host-feature mismatch loads with an
+    # "could lead to execution errors" warning and must be bypassable.
+    if os.environ.get("GSHELL_NO_COMPILE_CACHE"):
+        return
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

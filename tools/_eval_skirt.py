@@ -25,6 +25,13 @@ v1, f1 = load_obj(mesh_path)
 v2, f2 = load_obj(gt_path)
 print(f"recon: {len(v1)} verts {len(f1)} faces; gt: {len(v2)} verts {len(f2)} faces")
 
+# The training GT is unit_size-normalized (DatasetMesh convention) — the
+# reconstruction lives in THAT frame, so normalize the GT identically before
+# comparing (a raw-scale GT silently inflates chamfer by the scale gap²).
+c = (v2.min(0) + v2.max(0)) / 2.0
+v2 = (v2 - c) / (v2.max(0) - v2.min(0)).max()
+print(f"extents: recon {np.abs(v1).max():.3f}  gt(unit) {np.abs(v2).max():.3f}")
+
 from gshell_tpu.train.validate import chamfer_distance
 cd = chamfer_distance(jax.random.PRNGKey(0), jnp.asarray(v1), jnp.asarray(f1),
                       jnp.asarray(v2), jnp.asarray(f2), n_samples=20000)
