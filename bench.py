@@ -105,6 +105,9 @@ def run_config(quick, res, grid, n_samples, batch):
         # 1.9x over 'map_remat' at 512²/spp8/b2, and the foreground
         # compaction halves the residual footprint so it fits in HBM.
         view_batch_mode=os.environ.get("GSHELL_VIEW_MODE", "map"),
+        # extraction slot budgets (linear tail cost; 0.5 still covers the
+        # stress iso-surfaces — see docs/STATUS.md res-256 profile)
+        capacity_safety=float(os.environ.get("GSHELL_CAP_SAFETY", "1.0")),
     )
     geo = GShellGeometry(gcfg)
     mat_cfg = MLPTexture3DConfig(

@@ -30,7 +30,7 @@ from ..render import regularizer as reg
 from ..render.render import RenderFlags, render_mesh
 from .gshell_tets import GShellMesh, GShellTets
 from .mlp import MLPConfig, apply_mlp, init_mlp
-from .tet_grid import TetGrid, build_tet_grid
+from .tet_grid import TetGrid, build_tet_grid, default_capacities
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +70,20 @@ class GeometryConfig:
     #   'map'       — sequential lax.map, residuals kept (faster, more HBM)
     #   'vmap'      — vmap over views (XLA batches the whole pipeline)
     view_batch_mode: str = "map_remat"
+    # Lazy-gradient field evaluation (MLP fields only): evaluate the dense
+    # lattice field once WITHOUT gradient (occupancy/signs/shadows carry
+    # none — `sdf > 0` is a step function) and re-evaluate the MLP only at
+    # the ~2·V crossing-edge endpoints for the gradient-carrying values.
+    # At res 256 this cuts the differentiated field eval from 17M lattice
+    # rows to ~1.6M; the sign-consistency BCE moves to the equivalent
+    # crossing-edge-slot form (regularizer.sdf_reg_loss_edges).
+    lazy_field_grad: bool = True
+    # Extraction slot-budget multiplier (default_capacities safety): the
+    # per-slot extraction tail scales linearly with MT/V.  1.0 carries
+    # ≈2.5-3× headroom over measured iso-surface usage; 0.5 still covers
+    # the stress cases and halves the tail — watch n_valid_tets /
+    # n_crossing_edges vs the budgets when lowering it.
+    capacity_safety: float = 1.0
     # Shard the extractor's per-slot stages over the spatial mesh (GSPMD
     # constraints; see GShellTets.__call__ shard_mesh). Only active when a
     # spatial mesh is passed to tick; measured no compile-time penalty on
@@ -92,7 +106,13 @@ class GShellGeometry:
             # above 128 the tables alone would cost ~4 GB.
             grid = build_tet_grid(cfg.grid_res, build_topology=cfg.grid_res <= 128)
         self.grid = grid
-        self.extractor = GShellTets(self.grid, cfg.max_tets, cfg.max_verts)
+        mt, mv = cfg.max_tets, cfg.max_verts
+        if (mt is None or mv is None) and cfg.capacity_safety != 1.0:
+            d_t, d_v = default_capacities(
+                grid.res, grid.n_tets, grid.n_edges, safety=cfg.capacity_safety
+            )
+            mt, mv = mt or d_t, mv or d_v
+        self.extractor = GShellTets(self.grid, mt, mv)
         boxscale = np.asarray(cfg.boxscale, np.float32)
         base = self.grid.verts - self.grid.verts.mean(axis=0)
         self.verts = jnp.asarray(base * cfg.scale * boxscale)
@@ -127,13 +147,23 @@ class GShellGeometry:
         import optax
 
         cfg = self.cfg
-        verts = self.verts
-        scaled = verts / self.boxscale
-        target = jnp.linalg.norm(scaled, axis=-1, keepdims=True) - cfg.sphere_init_norm
         opt = optax.adam(lr)
+        # Minibatched on random points in the lattice box: the sphere target
+        # is analytic, so fitting needs no lattice verts at all — and a
+        # full-lattice step at res 256 is 17M×d_hidden activations (17 GB).
+        n_pts = min(self.grid.n_verts, 1 << 18)
+        scale_vec = self.cfg.scale * self.boxscale
 
         @jax.jit
-        def step(p, s):
+        def step(p, s, k):
+            base = jax.random.uniform(k, (n_pts, 3), jnp.float32, -0.5, 0.5)
+            verts = base * scale_vec
+            scaled = verts / self.boxscale
+            target = (
+                jnp.linalg.norm(scaled, axis=-1, keepdims=True)
+                - cfg.sphere_init_norm
+            )
+
             def loss_fn(p):
                 out = apply_mlp(p, verts, cfg.mlp)
                 return jnp.mean((out - target) ** 2)
@@ -144,23 +174,88 @@ class GShellGeometry:
 
         net = params["sdf_net"]
         state = opt.init(net)
+        key = jax.random.PRNGKey(7)
         for _ in range(steps):
-            net, state, loss = step(net, state)
+            key, k = jax.random.split(key)
+            net, state, loss = step(net, state, k)
         return {**params, "sdf_net": net}
 
     # ---------------- field evaluation ----------------
+    # Dense-lattice MLP evals above this row count run as a lax.map over
+    # row chunks: one (rows, d_hidden) activation at res 256 is 17M×256×4
+    # = 17 GB — far beyond HBM — while chunked eval is O(chunk·d_hidden).
+    _FIELD_CHUNK = 1 << 19
+
+    def _apply_field_chunked(self, net, pts: jax.Array) -> jax.Array:
+        chunk = self._FIELD_CHUNK
+        n = pts.shape[0]
+        if n <= chunk:
+            return apply_mlp(net, pts, self.cfg.mlp)[:, 0]
+        pad = (-n) % chunk
+        p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+        out = jax.lax.map(lambda c: apply_mlp(net, c, self.cfg.mlp)[:, 0], p)
+        return out.reshape(-1)[:n]
+
+    def lattice_verts(self) -> jax.Array:
+        """In-graph twin of ``self.verts``: the scaled lattice positions
+        generated from ``linspace``/``meshgrid`` INSIDE the traced program.
+        Jitted code must use this instead of closing over ``self.verts`` —
+        a closed-over concrete array is baked into the HLO as a literal,
+        which is (res+1)³×3 f32 ≈ 200 MB at res 256 (the axon
+        remote-compile endpoint rejects such programs outright)."""
+        n = self.cfg.grid_res + 1
+        axis = jnp.linspace(-0.5, 0.5, n, dtype=jnp.float32)
+        axis = axis - jnp.mean(axis)  # == (verts - verts.mean(0)) per axis
+        gx, gy, gz = jnp.meshgrid(axis, axis, axis, indexing="ij")
+        base = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+        return base * (self.cfg.scale * self.boxscale)
+
     def fields(self, params: dict):
         """(v_deformed, sdf, msdf) — ref getMesh (:191-204)."""
-        v_def = self.verts + self.max_displacement * params["deform"]
+        v_def = self.lattice_verts() + self.max_displacement * params["deform"]
         if self.cfg.use_sdf_mlp:
-            sdf = apply_mlp(params["sdf_net"], v_def, self.cfg.mlp)[:, 0]
+            sdf = self._apply_field_chunked(params["sdf_net"], v_def)
         else:
             sdf = params["sdf"]
         if self.cfg.use_msdf_mlp:
-            msdf = apply_mlp(params["msdf_net"], v_def, self.cfg.mlp)[:, 0]
+            msdf = self._apply_field_chunked(params["msdf_net"], v_def)
         else:
             msdf = params["msdf"]
         return v_def, sdf, msdf
+
+    def fields_lazy(self, params: dict):
+        """Lazy-gradient variant of :meth:`fields` for the training tick:
+        MLP fields are evaluated densely WITHOUT gradient (the extractor
+        reads only signs from the dense arrays) plus per-point evaluator
+        closures the extractor calls at the crossing-edge endpoints for the
+        gradient-carrying values.  Returns
+        ``(v_def, sdf, msdf, sdf_fn, msdf_fn)`` where the fns are None for
+        direct (non-MLP) fields."""
+        cfg = self.cfg
+        v_def = self.lattice_verts() + self.max_displacement * params["deform"]
+        v_sg = jax.lax.stop_gradient(v_def)
+        sdf_fn = msdf_fn = None
+        # At large grids the crossing-endpoint eval is itself ~10⁶ rows:
+        # remat it so the backward re-computes the MLP instead of keeping
+        # (rows, d_hidden) residuals per layer (~5 GB at res 256).
+        big = self.grid.n_verts > self._FIELD_CHUNK
+
+        def _maybe_remat(f):
+            return jax.checkpoint(f) if big else f
+
+        if cfg.use_sdf_mlp:
+            net = params["sdf_net"]
+            sdf = jax.lax.stop_gradient(self._apply_field_chunked(net, v_sg))
+            sdf_fn = _maybe_remat(lambda pts: apply_mlp(net, pts, cfg.mlp)[:, 0])
+        else:
+            sdf = params["sdf"]
+        if cfg.use_msdf_mlp:
+            mnet = params["msdf_net"]
+            msdf = jax.lax.stop_gradient(self._apply_field_chunked(mnet, v_sg))
+            msdf_fn = _maybe_remat(lambda pts: apply_mlp(mnet, pts, cfg.mlp)[:, 0])
+        else:
+            msdf = params["msdf"]
+        return v_def, sdf, msdf, sdf_fn, msdf_fn
 
     def get_mesh(self, params: dict) -> GShellMesh:
         v_def, sdf, msdf = self.fields(params)
@@ -210,11 +305,16 @@ class GShellGeometry:
         corresponding cfg.use_* supervision flags are on.
         """
         cfg = self.cfg
-        v_def, sdf, msdf = self.fields(params)
+        if cfg.lazy_field_grad and (cfg.use_sdf_mlp or cfg.use_msdf_mlp):
+            v_def, sdf, msdf, sdf_fn, msdf_fn = self.fields_lazy(params)
+        else:
+            v_def, sdf, msdf = self.fields(params)
+            sdf_fn = msdf_fn = None
         mesh = self.extractor(
             v_def, sdf, msdf, watertight_template=True,
             compute_aug_normals=False, compute_tangents=False,
             shard_mesh=spatial_mesh if cfg.shard_extraction else None,
+            sdf_fn=sdf_fn, msdf_fn=msdf_fn,
         )
         # Compact the slot-addressed face buffer (4 slots/tet, ~2.2 real)
         # before rasterization — the coverage scan costs per SLOT — and
@@ -416,7 +516,13 @@ class GShellGeometry:
             1.0, 4.0 * t_iter
         )
         r1 = cfg.grid_res + 1
-        sdf_reg = reg.sdf_reg_loss_lattice(sdf.reshape(r1, r1, r1)) * sdf_weight
+        if sdf_fn is not None:
+            # lazy-grad path: the dense lattice SDF is stop-gradiented, so
+            # the BCE must read the gradient-carrying crossing-edge values
+            # (same edge set, same mean — see sdf_reg_loss_edges).
+            sdf_reg = reg.sdf_reg_loss_edges(mesh.edge_sdf) * sdf_weight
+        else:
+            sdf_reg = reg.sdf_reg_loss_lattice(sdf.reshape(r1, r1, r1)) * sdf_weight
 
         # Shading regularizers (ref :364-376)
         shading_reg = 0.0

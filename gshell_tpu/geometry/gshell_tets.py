@@ -108,6 +108,12 @@ class GShellMesh(NamedTuple):
     # () int32 — true active-cube count; compare against the extractor's
     # max_cubes / max_tets / max_verts budgets to detect slot saturation
     n_active_cubes: jax.Array | int = 0
+    # (V, 2) SDF values at each crossing-edge slot's endpoints (invalid
+    # slots hold (+1, +1): same-sign → excluded from sign-consistency
+    # losses).  Gradient-carrying — with ``sdf_fn`` these are the ONLY
+    # differentiated SDF evaluations, so the sign-consistency BCE
+    # (ref gshell_tets.py:33-39) must read them instead of the lattice.
+    edge_sdf: jax.Array | int = 0
 
 
 def _safe_inv_denominator(d: jax.Array, valid: jax.Array) -> jax.Array:
@@ -447,6 +453,8 @@ class GShellTets:
         compute_aug_normals: bool = True,
         compute_tangents: bool = True,
         shard_mesh=None,
+        sdf_fn=None,
+        msdf_fn=None,
     ) -> GShellMesh:
         """Extract the open-surface mesh.  Fully jittable.
 
@@ -461,6 +469,18 @@ class GShellTets:
             gathers; the training path re-randomizes tangents per pixel
             (ref render.py:264-267, use_uv=False) and never reads them, so
             tick() passes False and ``v_tng`` comes back zero.
+          sdf_fn / msdf_fn: optional lazy-gradient field evaluators,
+            ``(rows, 3) points → (rows,) values``.  When given, the dense
+            ``sdf``/``msdf`` arrays are used ONLY for occupancy/signs
+            (callers should pass them stop-gradiented) and the
+            gradient-carrying values are re-evaluated at the ~2·V
+            crossing-edge endpoints — for an SDF MLP on a res-256 lattice
+            this cuts the differentiated field eval from (res+1)³ ≈ 17M
+            rows to ~2·V ≈ 1.6M rows (occupancy stays a cheap fwd-only
+            pass).  Occupancy decisions and interpolated values remain
+            consistent because both come from the same network; slots whose
+            re-evaluated endpoints happen to agree in sign fall back to the
+            guarded denominator (same as the reference's 1e-8 guard).
           shard_mesh: optional ``jax.sharding.Mesh``. The per-SLOT stages
             (template-vertex interpolation over V crossing-edge slots, the
             mSDF cut + face emission over MT tet slots — the extraction
@@ -539,14 +559,24 @@ class GShellTets:
         ev0, ev1 = _rows(ev0), _rows(ev1)
 
         pa, pb = pos_p[ev0], pos_p[ev1]
-        sa, sb = sdf_p[ev0], sdf_p[ev1]
+        if sdf_fn is not None:
+            sab = sdf_fn(jnp.concatenate([pa, pb], axis=0))
+            sa = jnp.where(slot_valid, sab[:V], 1.0)  # sentinel = +1 (occupied)
+            sb = jnp.where(slot_valid, sab[V:], 1.0)
+        else:
+            sa, sb = sdf_p[ev0], sdf_p[ev1]
         denom_inv = _safe_inv_denominator(sa - sb, slot_valid)
         wa = -sb * denom_inv
         wb = sa * denom_inv
         verts = pa * wa[:, None] + pb * wb[:, None]
         verts = jnp.where(slot_valid[:, None], verts, 0.0)
 
-        ma, mb = msdf_p[ev0], msdf_p[ev1]
+        if msdf_fn is not None:
+            mab = msdf_fn(jnp.concatenate([pa, pb], axis=0))
+            ma = jnp.where(slot_valid, mab[:V], -1.0)  # sentinel = -1
+            mb = jnp.where(slot_valid, mab[V:], -1.0)
+        else:
+            ma, mb = msdf_p[ev0], msdf_p[ev1]
         msdf_vert = ma * wa + mb * wb
         wa_sg, wb_sg = jax.lax.stop_gradient(wa), jax.lax.stop_gradient(wb)
         msdf_vert_sg = ma * wa_sg + mb * wb_sg  # stop-vgrad twin (ref :290)
@@ -716,4 +746,5 @@ class GShellTets:
             n_valid_tets=n_valid,
             n_crossing_edges=n_cross,
             n_active_cubes=cube_act.sum().astype(jnp.int32),
+            edge_sdf=jnp.stack([sa, sb], axis=-1),
         )

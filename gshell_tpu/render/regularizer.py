@@ -161,6 +161,27 @@ def sdf_reg_loss_lattice(sdf_vol):
     return num / jnp.maximum(cnt, 1.0)
 
 
+def sdf_reg_loss_edges(edge_sdf):
+    """:func:`sdf_reg_loss_lattice` evaluated on the extractor's compacted
+    crossing-edge slots (``GShellMesh.edge_sdf``, (V, 2)).  Only
+    sign-differing edges contribute to the lattice form, and those are
+    exactly the crossing-edge slots — so this is the same mean over the same
+    edge set, but touches V rows instead of the 7·(res+1)³ lattice edges.
+    Invalid slots hold (+1, +1) and mask themselves out.  This is the form
+    the lazy-gradient MLP path must use: the lattice SDF there is
+    stop-gradiented (occupancy only)."""
+
+    def bce_with_logits(x, y):
+        return jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+    s0, s1 = edge_sdf[:, 0], edge_sdf[:, 1]
+    mask = (jnp.sign(s0) != jnp.sign(s1)).astype(edge_sdf.dtype)
+    per_edge = bce_with_logits(s0, (s1 > 0).astype(edge_sdf.dtype)) + bce_with_logits(
+        s1, (s0 > 0).astype(edge_sdf.dtype)
+    )
+    return (per_edge * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
 def second_layer_and_depth_losses(cfg, buffers, target, image_loss_fn):
     """Second-layer image loss + (second-)depth L1 terms, shared by the tets
     and FlexiCubes ticks (ref gshell_tets_geometry.py:287-299 /
