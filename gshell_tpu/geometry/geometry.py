@@ -81,8 +81,12 @@ class GeometryConfig:
     # Extraction slot-budget multiplier (default_capacities safety): the
     # per-slot extraction tail scales linearly with MT/V.  1.0 carries
     # ≈2.5-3× headroom over measured iso-surface usage; 0.5 still covers
-    # the stress cases and halves the tail — watch n_valid_tets /
-    # n_crossing_edges vs the budgets when lowering it.
+    # the stress cases and halves the tail.  CAUTION: with lazy_field_grad,
+    # the crossing-edge slot budget (max_verts) also bounds the edge set of
+    # sdf_reg_loss_edges — on overflow that LOSS silently drops edges the
+    # dense lattice BCE would cover, degrading training, not just
+    # extraction.  The tick surfaces `tet_slot_overflow`/`edge_slot_overflow`
+    # aux flags as hard monitors; keep them at 0.
     capacity_safety: float = 1.0
     # Shard the extractor's per-slot stages over the spatial mesh (GSPMD
     # constraints; see GShellTets.__call__ shard_mesh). Only active when a
@@ -105,6 +109,14 @@ class GShellGeometry:
             # analytically and the SDF regularizer runs on volume slices —
             # above 128 the tables alone would cost ~4 GB.
             grid = build_tet_grid(cfg.grid_res, build_topology=cfg.grid_res <= 128)
+        # lattice_verts() regenerates positions analytically from
+        # cfg.grid_res with the standard linspace layout — a custom grid
+        # must match it, or the MLP fields would be evaluated at positions
+        # inconsistent with the extractor's lattice indexing.
+        assert grid.res == cfg.grid_res, (
+            f"custom TetGrid res {grid.res} != cfg.grid_res {cfg.grid_res}; "
+            "custom grids must use the standard linspace lattice layout"
+        )
         self.grid = grid
         mt, mv = cfg.max_tets, cfg.max_verts
         if (mt is None or mv is None) and cfg.capacity_safety != 1.0:
@@ -140,8 +152,11 @@ class GShellGeometry:
             )
         return params
 
-    def pretrain_sdf(self, params: dict, steps: int = 1000, lr: float = 1e-3) -> dict:
-        """Sphere-init the SDF MLP (ref gshell_tets_geometry.py:98-105)."""
+    def pretrain_sdf(
+        self, params: dict, steps: int = 1000, lr: float = 1e-3, seed: int = 7
+    ) -> dict:
+        """Sphere-init the SDF MLP (ref gshell_tets_geometry.py:98-105).
+        ``seed`` controls the pretrain minibatch sampling stream."""
         if not self.cfg.use_sdf_mlp:
             return params
         import optax
@@ -174,7 +189,7 @@ class GShellGeometry:
 
         net = params["sdf_net"]
         state = opt.init(net)
-        key = jax.random.PRNGKey(7)
+        key = jax.random.PRNGKey(seed)
         for _ in range(steps):
             key, k = jax.random.split(key)
             net, state, loss = step(net, state, k)
@@ -550,6 +565,16 @@ class GShellGeometry:
             "n_faces": n_faces,
             "n_crossing_edges": mesh.n_crossing_edges,
             "raster_dropped": jnp.sum(buffers["n_raster_dropped"]),
+            # Hard slot-budget monitors (capacity_safety < 1 shrinks these
+            # budgets; on edge-slot overflow the lazy-grad path's
+            # sdf_reg_loss_edges silently drops edges the dense lattice BCE
+            # would cover — watch these when lowering capacity_safety).
+            "tet_slot_overflow": (
+                mesh.n_valid_tets >= self.extractor.max_tets
+            ).astype(jnp.int32),
+            "edge_slot_overflow": (
+                mesh.n_crossing_edges >= self.extractor.max_verts
+            ).astype(jnp.int32),
             "px_dropped": jnp.sum(buffers.get("n_px_dropped", jnp.zeros((), jnp.int32)))
             + jnp.sum(buffers.get("n_px_dropped_second", jnp.zeros((), jnp.int32))),
             "sdf_reg": sdf_reg,

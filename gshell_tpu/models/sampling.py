@@ -174,13 +174,40 @@ def langevin_corrector_step(sde: VPSDE, key, x, eps_fn_single, timestep, snr: fl
     return x
 
 
+def ald_corrector_step(sde: VPSDE, key, x, eps_fn_single, timestep, snr: float = 0.075, n_steps: int = 1):
+    """Annealed Langevin dynamics corrector (NCSN/NCSNv2 step rule).
+
+    Twin of ref ``GMeshDiffusion/lib/diffusion/sampling.py:292-325``: unlike
+    the ``langevin`` corrector (ref :262-290) whose step size adapts to the
+    measured score/noise norm ratio, ald uses the *schedule-level* step size
+    ``(snr * std_t)^2 * 2 * alpha_t`` where ``std_t`` is the VPSDE marginal
+    std at t — independent of the current score magnitude.
+    """
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    alpha = sde.alphas[timestep].reshape(bshape)
+    std = sde.sqrt_1m_alphas_cumprod[timestep].reshape(bshape)
+    step_size = (snr * std) ** 2 * 2 * alpha
+
+    def one(i, carry):
+        x, k = carry
+        k, k1 = jax.random.split(k)
+        eps_pred = eps_fn_single(x, timestep)
+        grad = -eps_pred / std  # score from eps-prediction
+        noise = jax.random.normal(k1, x.shape)
+        x = x + step_size * grad + jnp.sqrt(2 * step_size) * noise
+        return (x, k)
+
+    x, _ = jax.lax.fori_loop(0, n_steps, one, (x, key))
+    return x
+
+
 PREDICTORS = {
     "ancestral_sampling": ancestral_step,
     "euler_maruyama": euler_maruyama_step,
     "reverse_diffusion": reverse_diffusion_step,
     "none": None,
 }
-CORRECTORS = {"langevin": langevin_corrector_step, "ald": langevin_corrector_step, "none": None}
+CORRECTORS = {"langevin": langevin_corrector_step, "ald": ald_corrector_step, "none": None}
 
 
 def slerp(z0, z1, t):

@@ -26,7 +26,7 @@ from ..ops.hashgrid import (
     hashgrid_encode_stochastic,
     init_hashgrid,
 )
-from ..ops.math import scale_grad
+from ..ops.math import scale_grad, scale_img_nhwc
 
 GRADIENT_SCALING = 128.0
 
@@ -131,16 +131,116 @@ def save_mtl(path: str, name: str = "defaultMat", kd=(0.8, 0.8, 0.8), ks=(0.0, 0
         f.write(f"Ks {ks[0]} {ks[1]} {ks[2]}\n")
 
 
-def merge_materials(materials: list[dict], texture_res=(1024, 1024)):
-    """Combine per-face materials into one uber-material
-    (twin of ``render/material.py`` merge_materials).  For flat-color
-    materials this collapses to averaging; textured merging stacks textures
-    side-by-side and the caller remaps UVs by material index."""
+def _material_channel(mat: dict, name: str):
+    """Per-material texel data for channel ``name`` ('kd'/'ks'/'normal') as a
+    numpy (H, W, C) array, or None when the material has neither a texture
+    nor a flat value for it.  Accepts arrays under ``{name}_data``, Texture2D
+    under ``{name}_tex``, an on-disk path under ``{name}_path``, or a flat
+    color under ``name`` (stored as a 1×1 texel)."""
     import numpy as np
 
-    kd = np.mean([m.get("kd", [0.8, 0.8, 0.8]) for m in materials], axis=0)
-    ks = np.mean([m.get("ks", [0.0, 0.5, 0.0]) for m in materials], axis=0)
-    return {"name": "uber", "bsdf": "pbr", "kd": kd.tolist(), "ks": ks.tolist()}
+    from .texture import Texture2D
+
+    if f"{name}_data" in mat:
+        return np.asarray(mat[f"{name}_data"], np.float32)
+    if f"{name}_tex" in mat and isinstance(mat[f"{name}_tex"], Texture2D):
+        return np.asarray(mat[f"{name}_tex"].base, np.float32)
+    if f"{name}_path" in mat:
+        from ..utils.image import load_image
+
+        return np.asarray(load_image(mat[f"{name}_path"]), np.float32)[..., :3]
+    if name in mat:
+        return np.asarray(mat[name], np.float32).reshape(1, 1, -1)
+    return None
+
+
+def merge_materials(materials: list[dict], texcoords, tfaces, mfaces):
+    """Merge per-face materials into ONE uber-material texture atlas.
+
+    Twin of the reference's ``render/material.py:118-169`` merge_materials:
+    every material's kd/ks/normal maps are resized to the common maximum
+    resolution and laid out side-by-side along u (the x axis) of a single
+    power-of-two atlas (edge-replicated padding on the unused area); texture
+    coordinates are remapped per (tex-vertex, material-index) pair —
+    duplicating tex-vertices shared across materials — so each face samples
+    its own tile: ``u' = (matIdx + u) * tile_w / atlas_w``.
+
+    Args:
+      materials: list of material dicts (see ``load_mtl`` / ``_material_channel``).
+      texcoords: (T, 2) float uv coordinates.
+      tfaces: (F, 3) int per-face tex-vertex indices.
+      mfaces: (F,) int per-face material index into ``materials``.
+
+    Returns ``(uber_material, new_texcoords, new_tfaces)`` where
+    ``uber_material`` carries ``Texture2D`` entries under 'kd'/'ks'/'normal'
+    for every channel any input defines.
+    """
+    import numpy as np
+
+    from .texture import create_trainable
+
+    assert len(materials) > 0
+    bsdf = materials[0].get("bsdf", "pbr")
+    assert all(m.get("bsdf", "pbr") == bsdf for m in materials), (
+        "all materials must share one BSDF (uber shader)"
+    )
+    texcoords = np.asarray(texcoords, np.float32)
+    tfaces = np.asarray(tfaces, np.int64)
+    mfaces = np.asarray(mfaces, np.int64)
+    n_mat = len(materials)
+
+    channels = ["kd", "ks", "normal"]
+    per_chan = {c: [_material_channel(m, c) for m in materials] for c in channels}
+
+    # Common tile resolution: max over all textures of all materials.
+    max_res = np.array([1, 1])
+    for maps in per_chan.values():
+        for m in maps:
+            if m is not None:
+                max_res = np.maximum(max_res, m.shape[:2])
+    # Atlas resolution: tiles side-by-side along x, rounded up to PoT.
+    full_res = (2 ** np.ceil(np.log2(max_res * np.array([1, n_mat])))).astype(int)
+
+    uber = {"name": "uber_material", "bsdf": bsdf}
+    defaults = {"kd": (0.8, 0.8, 0.8), "ks": (0.0, 0.5, 0.0), "normal": (0.5, 0.5, 1.0)}
+    for c in channels:
+        maps = per_chan[c]
+        if all(m is None for m in maps):
+            continue
+        tiles = []
+        for m in maps:
+            if m is None:
+                m = np.asarray(defaults[c], np.float32).reshape(1, 1, 3)
+            t = jnp.asarray(m, jnp.float32)[None]
+            t = scale_img_nhwc(t, (int(max_res[0]), int(max_res[1])), method="bilinear")
+            tiles.append(np.asarray(t[0]))
+        row = np.concatenate(tiles, axis=1)  # (tile_h, tile_w*n_mat, C)
+        # Edge-replicate into the PoT padding (unused atlas area).
+        pad_h = int(full_res[0] - row.shape[0])
+        pad_w = int(full_res[1] - row.shape[1])
+        atlas = np.pad(row, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+        uber[c] = create_trainable(atlas)
+
+    # UV remap: duplicate tex-vertices per (vertex, material) pair.
+    # key = ti * n_mat + matIdx identifies each needed atlas vertex.
+    flat_ti = tfaces.reshape(-1)
+    flat_mi = np.repeat(mfaces, 3)
+    keys = flat_ti * n_mat + flat_mi
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    new_tfaces = inverse.reshape(-1, 3).astype(np.int32)
+    src_ti = uniq // n_mat
+    src_mi = uniq % n_mat
+    # scale factors: used fraction of the PoT atlas per axis
+    s_v = max_res[0] / full_res[0]  # vertical (v)
+    s_u = max_res[1] / full_res[1]  # horizontal (u), per-tile
+    new_texcoords = np.stack(
+        [
+            (src_mi + texcoords[src_ti, 0]) * s_u,
+            texcoords[src_ti, 1] * s_v,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return uber, new_texcoords, new_tfaces
 
 
 def default_kd_ks_min_max(

@@ -46,6 +46,8 @@ def load_obj(path: str, scale: float = 1.0, with_attrs: bool = False):
     Twin of ``render/obj.py:31-141`` (material binding via
     ``render.material.load_mtl`` is up to the caller)."""
     verts, texs, nrms, faces, tfaces, nfaces = [], [], [], [], [], []
+    mfaces, mat_names, mtllib = [], [], None
+    cur_mat = -1
     with open(path, "r") as f:
         for line in f:
             tok = line.split()
@@ -57,6 +59,13 @@ def load_obj(path: str, scale: float = 1.0, with_attrs: bool = False):
                 texs.append([float(tok[1]), float(tok[2])])
             elif tok[0] == "vn":
                 nrms.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "mtllib":
+                mtllib = tok[1]
+            elif tok[0] == "usemtl":
+                name = tok[1]
+                if name not in mat_names:
+                    mat_names.append(name)
+                cur_mat = mat_names.index(name)
             elif tok[0] == "f":
                 parts = [t.split("/") for t in tok[1:]]
                 vi = [int(p[0]) - 1 for p in parts]
@@ -66,6 +75,7 @@ def load_obj(path: str, scale: float = 1.0, with_attrs: bool = False):
                     faces.append([vi[0], vi[k], vi[k + 1]])
                     tfaces.append([ti[0], ti[k], ti[k + 1]])
                     nfaces.append([ni[0], ni[k], ni[k + 1]])
+                    mfaces.append(max(cur_mat, 0))
     v = jnp.asarray(np.asarray(verts, np.float32) * scale)
     f = jnp.asarray(np.asarray(faces, np.int32))
     mesh = Mesh(v_pos=v, t_pos_idx=f).with_normals()
@@ -77,6 +87,10 @@ def load_obj(path: str, scale: float = 1.0, with_attrs: bool = False):
         "t_tex_idx": np.asarray(tfaces, np.int32),
         "t_nrm_idx": np.asarray(nfaces, np.int32),
         "v_nrm_file": np.asarray(nrms, np.float32) if nrms else None,
+        # per-face material indices + names, for material.merge_materials
+        "m_face_idx": np.asarray(mfaces, np.int32),
+        "mat_names": mat_names,
+        "mtllib": mtllib,
     }
 
 

@@ -152,7 +152,10 @@ def sdf_reg_loss_lattice(sdf_vol):
     for ox, oy, oz in EDGE_OFFSETS:
         s0 = sdf_vol[: n - ox, : n - oy, : n - oz]
         s1 = sdf_vol[ox:, oy:, oz:]
-        mask = (jnp.sign(s0) != jnp.sign(s1)).astype(sdf_vol.dtype)
+        # occupancy convention (s > 0), matching the extractor's crossing-edge
+        # selection — so the compacted form (sdf_reg_loss_edges) sees the SAME
+        # edge set, including the measure-zero sdf==0 endpoints.
+        mask = ((s0 > 0) != (s1 > 0)).astype(sdf_vol.dtype)
         per_edge = bce_with_logits(s0, (s1 > 0).astype(sdf_vol.dtype)) + bce_with_logits(
             s1, (s0 > 0).astype(sdf_vol.dtype)
         )
@@ -175,7 +178,7 @@ def sdf_reg_loss_edges(edge_sdf):
         return jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
     s0, s1 = edge_sdf[:, 0], edge_sdf[:, 1]
-    mask = (jnp.sign(s0) != jnp.sign(s1)).astype(edge_sdf.dtype)
+    mask = ((s0 > 0) != (s1 > 0)).astype(edge_sdf.dtype)
     per_edge = bce_with_logits(s0, (s1 > 0).astype(edge_sdf.dtype)) + bce_with_logits(
         s1, (s0 > 0).astype(edge_sdf.dtype)
     )

@@ -93,3 +93,47 @@ def test_likelihood_gaussian():
     analytic = -0.5 * n * np.log(2 * np.pi)
     assert np.isfinite(float(logp))
     assert abs(float(logp) - analytic) < 0.5 * n
+
+
+def test_ald_corrector_schedule_step_size():
+    """The true ald corrector (ref sampling.py:292-325) uses the schedule-level
+    step size (snr*std_t)^2 * 2 * alpha_t — independent of the score magnitude —
+    unlike the langevin corrector whose step adapts to the grad/noise norm ratio."""
+    from gshell_tpu.models.sampling import (
+        CORRECTORS, ald_corrector_step, langevin_corrector_step)
+
+    assert CORRECTORS["ald"] is ald_corrector_step
+    assert CORRECTORS["ald"] is not langevin_corrector_step
+
+    sde = make_vpsde(n=100)
+    t = 60
+    snr = 0.075
+    x = jnp.zeros((1, 4, 4, 4, 2))
+
+    # eps prediction of zero => score = 0 => x_new = 0 + sqrt(2*step)*noise.
+    def eps_fn(xx, timestep):
+        return jnp.zeros_like(xx)
+
+    key = jax.random.PRNGKey(3)
+    out = ald_corrector_step(sde, key, x, eps_fn, t, snr=snr, n_steps=1)
+    # Recompute analytically with the same rng stream.
+    k, k1 = jax.random.split(key)
+    noise = jax.random.normal(k1, x.shape)
+    std = sde.sqrt_1m_alphas_cumprod[t]
+    alpha = sde.alphas[t]
+    step = (snr * std) ** 2 * 2 * alpha
+    expected = jnp.sqrt(2 * step) * noise
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-5, atol=1e-6)
+
+    # With a large constant eps (score), langevin's adaptive step differs from
+    # ald's schedule step: check ald is insensitive to score scale.
+    def eps_big(xx, timestep):
+        return 100.0 * jnp.ones_like(xx)
+
+    out_small = ald_corrector_step(sde, key, x, eps_fn, t, snr=snr)
+    out_big = ald_corrector_step(sde, key, x, eps_big, t, snr=snr)
+    # deterministic difference = step * (score_big - score_small); step is the
+    # SAME schedule value in both (no norm adaptation).
+    diff = np.asarray(out_big - out_small)
+    expected_diff = float(step * (-100.0 / std))
+    np.testing.assert_allclose(diff, expected_diff, rtol=1e-4)

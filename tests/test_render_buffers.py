@@ -280,3 +280,81 @@ def test_shade_budget_grads():
     g = jax.grad(loss)(mesh.v_pos)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_merge_materials_atlas():
+    """merge_materials builds a real uber-texture atlas with UV remap
+    (ref render/material.py:118-169): a 2-material OBJ quad renders each
+    face with its own material's texture through the Texture2D path."""
+    import os
+    import tempfile
+
+    from gshell_tpu.render import texture as tex2d
+    from gshell_tpu.render.light import update_pdf
+    from gshell_tpu.render.material import merge_materials
+    from gshell_tpu.render.mesh import load_obj
+    from gshell_tpu.render.render import RenderFlags, render_mesh
+
+    obj_src = """
+mtllib two.mtl
+v -0.4 -0.4 0
+v 0.4 -0.4 0
+v 0.4 0.4 0
+v -0.4 0.4 0
+vt 0.25 0.25
+vt 0.75 0.25
+vt 0.75 0.75
+vt 0.25 0.75
+usemtl matA
+f 1/1 2/2 3/3
+usemtl matB
+f 1/1 3/3 4/4
+"""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "two.obj")
+        open(path, "w").write(obj_src)
+        mesh, attrs = load_obj(path, with_attrs=True)
+    assert attrs["mat_names"] == ["matA", "matB"]
+    np.testing.assert_array_equal(attrs["m_face_idx"], [0, 1])
+
+    # matA: textured red (8x8), matB: flat blue (1x1) — exercises resize,
+    # PoT padding, and per-face UV remap.
+    red = np.zeros((8, 8, 3), np.float32)
+    red[..., 0] = 1.0
+    mats = [
+        {"name": "matA", "bsdf": "pbr", "kd_data": red, "ks": [0.0, 0.6, 0.0]},
+        {"name": "matB", "bsdf": "pbr", "kd": [0.0, 0.0, 1.0], "ks": [0.0, 0.6, 0.0]},
+    ]
+    uv = attrs["t_tex_idx"]
+    texcoords = np.array([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75]], np.float32)
+    uber, new_uv, new_tf = merge_materials(mats, texcoords, uv, attrs["m_face_idx"])
+
+    # atlas is PoT and both tiles present
+    ah, aw, _ = np.asarray(uber["kd"].base).shape
+    assert (ah & (ah - 1)) == 0 and (aw & (aw - 1)) == 0
+    assert "ks" in uber
+    # shared corner tex-vertices are duplicated per material
+    assert new_uv.shape[0] == 6  # 4 uniques for matA's tri + matB's tri share 2 → 6
+    # each face samples its own tile color
+    for fi, expect in [(0, (1.0, 0.0, 0.0)), (1, (0.0, 0.0, 1.0))]:
+        center = new_uv[new_tf[fi]].mean(0)
+        got = np.asarray(tex2d.sample(uber["kd"], jnp.asarray(center)))
+        np.testing.assert_allclose(got, expect, atol=0.05)
+
+    # render end-to-end through the Texture2D path: lower-right triangle red,
+    # upper-left blue
+    light = update_pdf(jnp.full((16, 32, 3), 1.0))
+    proj = gmath.perspective(np.deg2rad(45.0))
+    view = gmath.lookat(jnp.array([0.0, 0.0, 2.0]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
+    flags = RenderFlags(resolution=(RES, RES), n_samples=2, bsdf="kd", use_denoiser=False)
+    buf = render_mesh(
+        jax.random.PRNGKey(1), mesh.v_pos, mesh.t_pos_idx, mesh.v_nrm, None,
+        uber, None, proj @ view, jnp.array([0.0, 0.0, 2.0]), light, flags,
+        shadow_scale=0.0, v_tex=jnp.asarray(new_uv), t_tex_idx=jnp.asarray(new_tf),
+    )
+    kd_img = np.asarray(buf["kd"])[..., :3]
+    m = np.asarray(buf["mask"])[..., 0] > 0.5
+    reds = (kd_img[..., 0] > 0.7) & (kd_img[..., 2] < 0.3) & m
+    blues = (kd_img[..., 2] > 0.7) & (kd_img[..., 0] < 0.3) & m
+    assert reds.sum() > 100 and blues.sum() > 100, (reds.sum(), blues.sum())
+    assert (reds.sum() + blues.sum()) > 0.9 * m.sum()
