@@ -294,3 +294,58 @@ def test_shadow_field_in_env_shade_grad():
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+@pytest.mark.slow
+def test_shadow_field_end_to_end_psnr():
+    """End-to-end shading parity of the swept shadow field vs the exact
+    per-ray march (VERDICT r2 weak #5): shade a ground plane under a sphere
+    occluder with BOTH visibility backends and the same RNG; the images must
+    agree to reconstruction-irrelevant levels (the residual is direction-
+    quantization noise that the stratified MC dithers).  Chip-scale numbers
+    (512²) live in docs/STATUS.md; this guards the property in CI."""
+    from gshell_tpu.ops.shade import (
+        make_sdf_visibility_parts,
+        make_shadow_field_parts,
+    )
+
+    r = 64
+    ax = np.linspace(-0.5, 0.5, r + 1)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    # sphere occluder floating above the ground plane
+    sdf = jnp.asarray(0.18 - np.sqrt(gx**2 + (gy - 0.15) ** 2 + gz**2))
+
+    side = 96
+    xs = np.linspace(-0.45, 0.45, side)
+    px, pz = np.meshgrid(xs, xs, indexing="ij")
+    p = side * side
+    pos = jnp.asarray(
+        np.stack([px, np.full_like(px, -0.35), pz], -1).reshape(p, 3), jnp.float32
+    )
+    nrm = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (p, 1))
+    kd = jnp.ones((p, 3)) * 0.7
+    ks = jnp.stack([jnp.zeros(p), jnp.full(p, 0.4), jnp.zeros(p)], -1)
+    mask = jnp.ones((p, 1))
+    view = jnp.tile(jnp.array([[0.0, 1.5, 1.5]]), (p, 1))
+    lg = update_pdf(jax.random.uniform(jax.random.PRNGKey(3), (64, 128, 3)))
+
+    def shade(vfn):
+        buf = env_shade(
+            jax.random.PRNGKey(7), mask, pos + nrm * 1e-3, pos, nrm, view,
+            kd, ks, lg, n_samples_x=4, bsdf="pbr", shadow_scale=1.0,
+            visibility_fn=vfn,
+        )
+        return np.asarray(buf.diffuse * kd + buf.specular)
+
+    img_f = shade(make_shadow_field_parts(sdf, [-0.5] * 3, [1.0] * 3, ko=16))
+    img_m = shade(make_sdf_visibility_parts(sdf, [-0.5] * 3, [1.0] * 3))
+
+    # the scene must actually contain a shadow (the test is vacuous
+    # otherwise): the darkest plane pixel sits well below the brightest
+    assert img_m.min() < 0.35 * img_m.max()
+    mse = float(np.mean((img_f - img_m) ** 2))
+    peak = float(img_m.max())
+    psnr = 10.0 * np.log10(peak * peak / max(mse, 1e-12))
+    mean_err = float(np.abs(img_f - img_m).mean()) / max(peak, 1e-12)
+    assert psnr > 26.0, (psnr, mean_err)
+    assert mean_err < 0.02, (psnr, mean_err)
