@@ -131,6 +131,31 @@ def _feature_tables(params: HashGridParams, cfg: HashGridConfig):
     return [params.tables[..., f].reshape(L * T) for f in range(F)]
 
 
+def _packed_feature_table(params: HashGridParams) -> jax.Array:
+    """Both features of a 2-feature table packed bf16×2 → one u32 per row.
+
+    The exact-forward gather is the hottest per-pixel HBM access in the
+    whole train step (measured ~4–5 ns/row × P·8L rows per feature at 512²);
+    packing halves the gathered rows.  fp16 feature precision matches
+    tiny-cuda-nn's fp16 tables exactly (ref ``render/mlptexture.py:58-74``);
+    this path treats tables as constants (x-gradients only), so quantization
+    never touches the table-gradient path."""
+    t = jax.lax.stop_gradient(params.tables)  # (L, T, 2)
+    u = jax.lax.bitcast_convert_type(t.astype(jnp.float16), jnp.uint16)
+    u = u.astype(jnp.uint32)
+    return (u[..., 0] | (u[..., 1] << 16)).reshape(-1)  # (L·T,)
+
+
+def _unpack_features(fu: jax.Array, dtype):
+    lo = jax.lax.bitcast_convert_type(
+        (fu & 0xFFFF).astype(jnp.uint16), jnp.float16
+    ).astype(dtype)
+    hi = jax.lax.bitcast_convert_type(
+        (fu >> 16).astype(jnp.uint16), jnp.float16
+    ).astype(dtype)
+    return lo, hi
+
+
 def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig):
     """Forward encode + analytic position-Jacobian.
 
@@ -140,14 +165,21 @@ def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig)
     forward, so a backward w.r.t. x never re-gathers (XLA otherwise
     rematerializes the 67M-element gather in the transpose — measured as
     expensive as the forward itself).  Every materialized intermediate is
-    (P, 8L) or (P, L)-shaped — see :func:`_feature_tables`."""
+    (P, 8L) or (P, L)-shaped — see :func:`_feature_tables`.  For the default
+    2-feature config both features ride ONE u32 gather
+    (:func:`_packed_feature_table`)."""
     p = x.shape[0]
     L = cfg.n_levels
     idx, wgt, (dwx, dwy, dwz) = _corner_weight_arrays(x, cfg, with_jac=True)
 
+    if params.tables.shape[-1] == 2:
+        fu = _packed_feature_table(params)[idx]  # (P, 8L) u32 — one gather
+        feats_per_f = _unpack_features(fu, x.dtype)
+    else:
+        feats_per_f = [flat_f[idx] for flat_f in _feature_tables(params, cfg)]
+
     outs, jacs = [], {0: [], 1: [], 2: []}
-    for flat_f in _feature_tables(params, cfg):
-        feats = flat_f[idx]  # (P, 8L) — lane-aligned gather
+    for feats in feats_per_f:
         red = lambda w: (feats * w).reshape(p, L, 8).sum(axis=2)  # (P, L)
         outs.append(red(wgt))
         jacs[0].append(red(dwx))

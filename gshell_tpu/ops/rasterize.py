@@ -506,8 +506,19 @@ def rasterize_tiled(
     starts = offsets - counts
 
     j = jnp.arange(max_pairs, dtype=jnp.int32)
-    pair_tri = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
-    pair_tri = jnp.clip(pair_tri, 0, f - 1)
+    # pair j → triangle: instead of searchsorted(offsets, j) — a 17-round
+    # vmapped binary search, ~95 ms/step at 786k pairs — mark each nonempty
+    # segment's start with a scatter-ADD (order-independent, fast native
+    # lowering) and take a cumsum: pair_rank[j] = #starts ≤ j − 1, then map
+    # rank → triangle id through the stable-argsort compaction of nonempty
+    # triangles.  All gathers/cumsums, ~5× cheaper.
+    nz = counts > 0
+    ind = jnp.zeros((max_pairs,), jnp.int32).at[
+        jnp.where(nz, starts, max_pairs)
+    ].add(1, mode="drop")
+    pair_rank = jnp.cumsum(ind) - 1  # non-decreasing, ≥0 past the first start
+    order_nz = jnp.argsort(jnp.logical_not(nz), stable=True)  # nz tris first
+    pair_tri = order_nz[jnp.clip(pair_rank, 0, f - 1)].astype(jnp.int32)
     local = j - starts[pair_tri]
     pw = jnp.maximum(rw[pair_tri], 1)
     ptile = (y0[pair_tri] + local // pw) * tx_n + x0[pair_tri] + local % pw
@@ -692,16 +703,6 @@ def antialias(
     ys, xs = _pixel_centers(h, w)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
 
-    def edge_vals(fid, qx, qy):
-        tri = v_clip[faces[fid]]
-        ww = tri[..., 3]
-        inv_w = 1.0 / jnp.maximum(ww, _W_EPS)
-        sx = (tri[..., 0] * inv_w * 0.5 + 0.5) * w
-        sy = (tri[..., 1] * inv_w * 0.5 + 0.5) * h
-        a, b, c, area2 = _edge_coeffs(sx, sy)
-        e = a * qx[..., None] + b * qy[..., None] + c
-        return e * jnp.sign(area2)[..., None]  # inside-positive
-
     delta = jnp.zeros_like(color)
 
     for axis in (1, 0):
@@ -718,8 +719,19 @@ def antialias(
         a_leads = jnp.where(id_b == 0, True, jnp.where(id_a == 0, False, z_a <= z_b))
         lead_fid = jnp.maximum(jnp.where(a_leads, id_a, id_b) - 1, 0)
 
-        e_a = edge_vals(lead_fid, px[ia], py[ia])  # (..., 3)
-        e_b = edge_vals(lead_fid, px[ib], py[ib])
+        # ONE corner gather per pair: edge functions are affine, and pixel b
+        # is exactly one pixel step from pixel a — e_b = e_a + (a|b) coeff.
+        # (Evaluating edge_vals separately at both pixels doubled the gather
+        # and its backward scatter-add into v_clip, ~30 ms/step at 512².)
+        tri = v_clip[faces[lead_fid]]
+        ww = tri[..., 3]
+        inv_w = 1.0 / jnp.maximum(ww, _W_EPS)
+        sxc = (tri[..., 0] * inv_w * 0.5 + 0.5) * w
+        syc = (tri[..., 1] * inv_w * 0.5 + 0.5) * h
+        ca, cb, cc, area2 = _edge_coeffs(sxc, syc)
+        s_or = jnp.sign(area2)[..., None]
+        e_a = (ca * px[ia][..., None] + cb * py[ia][..., None] + cc) * s_or
+        e_b = e_a + (ca if axis == 1 else cb) * s_or
         e_lead = jnp.where(a_leads[..., None], e_a, e_b)
         e_other = jnp.where(a_leads[..., None], e_b, e_a)
 

@@ -20,6 +20,7 @@ One call = one fully-jittable graph; batching over views is ``vmap`` over
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -90,23 +91,82 @@ class RenderFlags(NamedTuple):
 
 
 def _fg_compact_idx(tri_id: jax.Array, p_full: int, budget: float | None):
-    """Foreground-compaction index for a ``shade_budget`` fraction.
+    """Foreground-compaction permutation for a ``shade_budget`` fraction.
 
-    Returns ``(idx (n_slots,) | None, px_dropped scalar)``.  Stable sort ⇒
-    foreground pixels first, in raster order; the index set is a permutation
-    prefix (all-distinct), so scatter-backs never collide.  ``None`` when the
-    budget covers the full image (exact path)."""
+    Returns ``((perm, inv, n_slots) | None, px_dropped scalar)``.  Stable
+    sort ⇒ foreground pixels first, in raster order; ``perm`` is a full
+    pixel permutation (compacted rows = first ``n_slots``), ``inv`` its
+    inverse.  Keeping BOTH directions lets compact/scatter run as pure
+    gathers in forward AND backward (see :func:`_permute_compact` /
+    :func:`_permute_scatter`) — XLA lowers an equivalent ``.at[idx].set``
+    scatter to a sort + while loop, measured ~190 ms/step at 512².  ``None``
+    when the budget covers the full image (exact path)."""
     if budget is None:
         return None, jnp.zeros((), jnp.int32)
     n_slots = min(p_full, -(-int(p_full * budget) // 1024) * 1024)
     if n_slots >= p_full:
         return None, jnp.zeros((), jnp.int32)
     fg_flat = (tri_id > 0).reshape(p_full)
-    idx = jax.lax.stop_gradient(
-        jnp.argsort(jnp.logical_not(fg_flat), stable=True)[:n_slots]
-    )
+    perm = jnp.argsort(jnp.logical_not(fg_flat), stable=True)
+    inv = jnp.argsort(perm)
     dropped = jnp.maximum(0, jnp.sum(fg_flat.astype(jnp.int32)) - n_slots)
-    return idx, dropped
+    return (
+        jax.lax.stop_gradient(perm),
+        jax.lax.stop_gradient(inv),
+        n_slots,
+    ), dropped
+
+
+def _int_zero_cotangents(*arrs):
+    import numpy as _np
+
+    return tuple(_np.zeros(a.shape, dtype=jax.dtypes.float0) for a in arrs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _permute_compact(img_flat, perm, inv, n_slots):
+    """``img_flat[perm[:n_slots]]`` with a gather-only backward.
+
+    The plain gather's transpose is a scatter-add; since ``perm`` is a
+    permutation, the exact cotangent is instead ``concat(g, 0)[inv]`` — a
+    gather.  Both directions stay on the fast gather path."""
+    return img_flat[perm[:n_slots]]
+
+
+def _permute_compact_fwd(img_flat, perm, inv, n_slots):
+    return img_flat[perm[:n_slots]], (perm, inv, img_flat.shape[0])
+
+
+def _permute_compact_bwd(n_slots, res, g):
+    perm, inv, p_full = res
+    pad = jnp.zeros((p_full - n_slots,) + g.shape[1:], g.dtype)
+    dimg = jnp.concatenate([g, pad], axis=0)[inv]
+    return (dimg,) + _int_zero_cotangents(perm, inv)
+
+
+_permute_compact.defvjp(_permute_compact_fwd, _permute_compact_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _permute_scatter(rows, perm, inv, p_full):
+    """Inverse of :func:`_permute_compact`: place compacted rows back at
+    their pixels (zeros elsewhere) — a gather by ``inv`` in forward and a
+    gather by ``perm`` in backward (never an XLA scatter)."""
+    n = rows.shape[0]
+    pad = jnp.zeros((p_full - n,) + rows.shape[1:], rows.dtype)
+    return jnp.concatenate([rows, pad], axis=0)[inv]
+
+
+def _permute_scatter_fwd(rows, perm, inv, p_full):
+    return _permute_scatter(rows, perm, inv, p_full), (perm, inv, rows.shape[0])
+
+
+def _permute_scatter_bwd(p_full, res, g):
+    perm, inv, n = res
+    return (g[perm[:n]],) + _int_zero_cotangents(perm, inv)
+
+
+_permute_scatter.defvjp(_permute_scatter_fwd, _permute_scatter_bwd)
 
 
 def render_mesh(
@@ -209,13 +269,13 @@ def render_mesh(
 
     def _compact(img_c):
         """(H, W, C) → (n_slots, C) rows at the compacted pixels."""
-        return img_c.reshape(p_full, -1)[idx_c]
+        perm, inv, n_slots = idx_c
+        return _permute_compact(img_c.reshape(p_full, -1), perm, inv, n_slots)
 
     def _scatter(rows, c):
         """(n_slots, C) → (H, W, C); uncompacted pixels get zeros."""
-        return (
-            jnp.zeros((p_full, c), rows.dtype).at[idx_c].set(rows).reshape(h, w, c)
-        )
+        perm, inv, _ = idx_c
+        return _permute_scatter(rows, perm, inv, p_full).reshape(h, w, c)
 
     # ---- material pass (ref shade() render.py:66-97) -------------------
     omit_o = jnp.asarray([0.0, 1.0, 1.0])
@@ -266,13 +326,18 @@ def render_mesh(
         # gather (128 rows/point) in the whole step.
         pos_m = _compact(gb_pos) if idx_c is not None else gb_pos.reshape(p_full, 3)
         if idx_c is not None and flags.jitter_tap_frac < 1.0:
-            # jitter tap on a random strided subset (see jitter_tap_frac)
+            # Jitter tap on a random CIRCULAR BLOCK [off, off+pj) of the
+            # compacted rows (inclusion probability pj/n_sl per pixel, same
+            # unbiased estimator as a strided subset) — selected and placed
+            # back with wrap-extended slices only.  The previous strided-
+            # subset `.at[sel].set` lowered to an XLA sort+while scatter,
+            # measured ~240 ms/step at 512².
             n_sl = pos_m.shape[0]
             pj = min(n_sl, max(1024, int(n_sl * flags.jitter_tap_frac) // 256 * 256))
-            stride = n_sl // pj
             off = jax.random.randint(k_texj, (), 0, n_sl)
-            sel = (off + jnp.arange(pj, dtype=jnp.int32) * stride) % n_sl
-            pos_j = pos_m[sel] + flags.jitter_std * jax.random.normal(
+            pos_ext = jnp.concatenate([pos_m, pos_m[:pj]], axis=0)
+            pos_sel = jax.lax.dynamic_slice_in_dim(pos_ext, off, pj, axis=0)
+            pos_j = pos_sel + flags.jitter_std * jax.random.normal(
                 k_jit, (pj, 3)
             )
             both = sample_mlp_texture(
@@ -281,10 +346,16 @@ def render_mesh(
                 key=k_tex,
             )
             tex_main, tex_j = both[:n_sl], both[n_sl:]
-            grad_rows = jnp.abs(tex_j - tex_main[sel]) * (n_sl / pj)
-            tex_rows = jnp.concatenate(
-                [tex_main, jnp.zeros((n_sl, 6), tex_main.dtype)], -1
-            ).at[sel, 6:].set(grad_rows)
+            tm_ext = jnp.concatenate([tex_main, tex_main[:pj]], axis=0)
+            tm_sel = jax.lax.dynamic_slice_in_dim(tm_ext, off, pj, axis=0)
+            grad_rows = jnp.abs(tex_j - tm_sel) * (n_sl / pj)
+            gr_ext = jnp.zeros((n_sl + pj, 6), grad_rows.dtype)
+            gr_ext = jax.lax.dynamic_update_slice_in_dim(
+                gr_ext, grad_rows, off, axis=0
+            )
+            # fold the wrapped tail back onto the head
+            grad_full = gr_ext[:n_sl].at[:pj].add(gr_ext[n_sl:])
+            tex_rows = jnp.concatenate([tex_main, grad_full], -1)
             tex_img = _scatter(tex_rows, 12)
         else:
             jit_pos = pos_m + flags.jitter_std * jax.random.normal(
@@ -528,7 +599,11 @@ def render_second_layer(
     p = h * w
     idx_c, px_dropped2 = _fg_compact_idx(rast2.tri_id, p, flags.shade_budget)
     if idx_c is not None:
-        packed = jnp.concatenate([gb_pos, gb_normal, mask], -1).reshape(p, 7)[idx_c]
+        perm2, inv2, n_slots2 = idx_c
+        packed = _permute_compact(
+            jnp.concatenate([gb_pos, gb_normal, mask], -1).reshape(p, 7),
+            perm2, inv2, n_slots2,
+        )
         pos_s, nrm_s, mask_s = packed[:, 0:3], packed[:, 3:6], packed[:, 6:7]
         view_s = jnp.broadcast_to(campos.reshape(1, 3), pos_s.shape)
     else:
@@ -547,9 +622,7 @@ def render_second_layer(
     kd_m_s = kd_s * (1.0 - ks_s[..., 2:3])
     shaded_rows = out.diffuse * kd_m_s + out.specular  # (Ps, 3)
     if idx_c is not None:
-        shaded = (
-            jnp.zeros((p, 3), shaded_rows.dtype).at[idx_c].set(shaded_rows)
-        ).reshape(h, w, 3)
+        shaded = _permute_scatter(shaded_rows, perm2, inv2, p).reshape(h, w, 3)
     else:
         shaded = shaded_rows.reshape(h, w, 3)
     if background is None:

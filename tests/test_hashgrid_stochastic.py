@@ -34,7 +34,11 @@ def test_x_grads_exact():
             params, x_, cfg, jax.random.PRNGKey(2), 0.25
         ).sum()
     )(x)
-    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sto), atol=1e-6)
+    # The exact-forward path gathers fp16-packed features (one u32 row for
+    # both features — see hashgrid._packed_feature_table), so its x-jacobian
+    # is computed from fp16-quantized values: agreement is to fp16 feature
+    # precision, not f32-bitwise.
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sto), atol=1e-5)
 
 
 def test_table_grads_unbiased():
@@ -73,9 +77,11 @@ def test_x_jacobian_matches_autodiff():
     def loss_custom(x_):
         return (hashgrid_encode_x_grads(params, x_, cfg) * jnp.arange(cfg.out_dim)).sum()
 
+    # agreement is to fp16 feature precision: the custom path gathers
+    # fp16-packed features (hashgrid._packed_feature_table)
     f_a = loss_auto(x)
     f_c = loss_custom(x)
-    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_c), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_a), np.asarray(f_c), rtol=1e-4)
     g_a = jax.grad(loss_auto)(x)
     g_c = jax.grad(loss_custom)(x)
-    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_c), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_c), rtol=1e-3, atol=1e-5)
