@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from gshell_tpu.ops.compact import nonzero_compact
 import numpy as np
 
 from ..ops.mesh_ops import auto_normals
@@ -165,7 +166,7 @@ class GShellFlexiCubes:
         invert = flagged & in_rng & adj_flagged
         case_all = jnp.where(invert, chk[:, 4], case_all)
 
-        (cube_slots,) = jnp.nonzero(surf, size=MC, fill_value=C)
+        cube_slots = nonzero_compact(surf, MC, C)
         cube_valid = cube_slots < C
         slot_of_cube = jnp.full((C + 1,), MC, jnp.int32)
         slot_of_cube = slot_of_cube.at[cube_slots].set(
@@ -182,7 +183,7 @@ class GShellFlexiCubes:
         crossing = e_occ[:, 0] != e_occ[:, 1]
         n_cross = crossing.sum().astype(jnp.int32)
         quad_ok_all = crossing & self.edge_interior_pad[:-1]
-        (edge_slots,) = jnp.nonzero(quad_ok_all, size=ME, fill_value=E)
+        edge_slots = nonzero_compact(quad_ok_all, ME, E)
         edge_valid = edge_slots < E
 
         # ---- dual vertices (ref _compute_vd :387-485) -------------------

@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from gshell_tpu.ops.compact import nonzero_compact
 import numpy as np
 
 from ..ops.math import build_orthonormal_basis
@@ -342,7 +343,7 @@ class GShellTets:
             cube_act = cube_act & (corner_sum(msdf_vol.astype(jnp.int32)) > 0)
         MC = self.max_cubes
         n_cubes = res**3
-        (cube_slots,) = jnp.nonzero(cube_act.reshape(-1), size=MC, fill_value=n_cubes)
+        cube_slots = nonzero_compact(cube_act, MC, n_cubes)
         cube_ok = cube_slots < n_cubes
         cs = jnp.where(cube_ok, cube_slots, 0)
         cube_xyz = jnp.stack(
@@ -370,7 +371,7 @@ class GShellTets:
             valid_cand = valid_cand & msdf_flat[cand_vid].any(axis=-1)
         n_valid = valid_cand.sum().astype(jnp.int32)
 
-        (cand_idx,) = jnp.nonzero(valid_cand.reshape(-1), size=MT, fill_value=6 * MC)
+        cand_idx = nonzero_compact(valid_cand, MT, 6 * MC)
         tet_valid = cand_idx < 6 * MC
         ci = jnp.where(tet_valid, cand_idx, 0)
         corner_xyz = cube_xyz[ci // 6][:, None, :] + self._tet_corners[ci % 6]
@@ -399,7 +400,7 @@ class GShellTets:
                     vert_act = vert_act | act_pad[
                         dx : dx + n_lat, dy : dy + n_lat, dz : dz + n_lat
                     ]
-        (lv_slots,) = jnp.nonzero(vert_act.reshape(-1), size=MVL, fill_value=N)
+        lv_slots = nonzero_compact(vert_act, MVL, N)
         lv_ok = lv_slots < N
         lv = jnp.where(lv_ok, lv_slots, 0)
         lv_xyz = jnp.stack(
@@ -420,7 +421,7 @@ class GShellTets:
             0,
         )
         e_cross = in_range & (occ_flat[lo_vid[:, None]] != occ_flat[hi_vid])
-        (ce_idx,) = jnp.nonzero(e_cross.reshape(-1), size=V, fill_value=7 * MVL)
+        ce_idx = nonzero_compact(e_cross, V, 7 * MVL)
         slot_valid = ce_idx < 7 * MVL
         cei = jnp.where(slot_valid, ce_idx, 0)
         ev0 = jnp.where(slot_valid, lo_vid[cei // 7], N)

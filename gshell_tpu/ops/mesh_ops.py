@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from gshell_tpu.ops.compact import nonzero_compact
 
 from .math import dot, safe_normalize
 
@@ -114,7 +115,7 @@ def compact_faces(faces: jax.Array, face_valid: jax.Array, cap: int):
     so compacting to a tight static capacity before rendering cuts the
     coverage scan ~4×.  Overflowing faces (beyond ``cap``) are dropped —
     monitor via the returned count."""
-    (idx,) = jnp.nonzero(face_valid, size=cap, fill_value=0)
+    idx = nonzero_compact(face_valid, cap, 0)
     n = face_valid.sum()
     valid_c = jnp.arange(cap) < n
     fc = jnp.where(valid_c[:, None], faces[idx], 0)
