@@ -360,15 +360,30 @@ class GShellTets:
         res = self.grid.res
         n_lat = res + 1
         MC, MT = self.max_cubes, self.max_tets
-        cand_xyz = cube_xyz[:, None, None, :] + self._tet_corners[None]  # (MC,6,4,3)
-        cand_vid = (
-            (cand_xyz[..., 0] * n_lat + cand_xyz[..., 1]) * n_lat + cand_xyz[..., 2]
-        )
-        cand_occ = occ_flat[cand_vid]  # (MC, 6, 4) bool
+        # The 6 path tets draw their 24 corner slots from the cube's 8
+        # vertices — gather the 8 once per cube (MC·8 rows) and remap to
+        # (MC, 6, 4) with a STATIC minor-axis permutation (a lane shuffle,
+        # not a second HBM gather; the naive (MC,6,4) corner gather costs
+        # 3× the rows and materializes a (MC,6,4,3) coord tensor).
+        corner8 = jnp.arange(8, dtype=jnp.int32)
+        off8_vid = (
+            (corner8 >> 2) * n_lat + ((corner8 >> 1) & 1)
+        ) * n_lat + (corner8 & 1)
+        base_vid = (
+            cube_xyz[:, 0] * n_lat + cube_xyz[:, 1]
+        ) * n_lat + cube_xyz[:, 2]
+        vid8 = base_vid[:, None] + off8_vid[None, :]  # (MC, 8)
+        occ8 = occ_flat[vid8]  # (MC, 8) bool
+        import numpy as _np
+
+        tc = _np.asarray(_TET_CORNERS, _np.int32)  # (6, 4, 3) offsets in {0,1}³
+        m64 = (tc[..., 0] * 4 + tc[..., 1] * 2 + tc[..., 2]).reshape(-1)  # (24,) static
+        cand_occ = occ8[:, m64].reshape(MC, 6, 4)
         cand_sum = cand_occ.sum(axis=-1)
         valid_cand = (cand_sum > 0) & (cand_sum < 4) & cube_ok[:, None]
         if msdf_flat is not None:
-            valid_cand = valid_cand & msdf_flat[cand_vid].any(axis=-1)
+            msdf8 = msdf_flat[vid8]
+            valid_cand = valid_cand & msdf8[:, m64].reshape(MC, 6, 4).any(axis=-1)
         n_valid = valid_cand.sum().astype(jnp.int32)
 
         cand_idx = nonzero_compact(valid_cand, MT, 6 * MC)
@@ -411,23 +426,42 @@ class GShellTets:
             jnp.arange(MVL, dtype=jnp.int32), mode="drop"
         )
 
-        off = self._edge_offsets  # (7, 3)
-        hi_xyz = lv_xyz[:, None, :] + off[None]  # (MVL, 7, 3)
-        in_range = (hi_xyz < n_lat).all(axis=-1) & lv_ok[:, None]
-        lo_vid = (lv_xyz[..., 0] * n_lat + lv_xyz[..., 1]) * n_lat + lv_xyz[..., 2]
-        hi_vid = jnp.where(
-            in_range,
-            (hi_xyz[..., 0] * n_lat + hi_xyz[..., 1]) * n_lat + hi_xyz[..., 2],
-            0,
-        )
-        e_cross = in_range & (occ_flat[lo_vid[:, None]] != occ_flat[hi_vid])
+        # Crossing test, volumetric: one shifted-slice XOR per edge class,
+        # bit-packed into a uint8 per lattice vertex (out-of-range bits stay
+        # 0 via the zero pad), then ONE byte gather at the MVL compacted
+        # vertices.  Replaces the previous 8·MVL occupancy gather rows
+        # (4.7M at res 256) with 0.6M rows + cheap elementwise volume passes.
+        occ_vol_ = occ_flat.reshape(n_lat, n_lat, n_lat)
+        cross_bits = jnp.zeros((n_lat, n_lat, n_lat), jnp.uint8)
+        for c, (ox, oy, oz) in enumerate(EDGE_OFFSETS):
+            x = (
+                occ_vol_[: n_lat - ox, : n_lat - oy, : n_lat - oz]
+                ^ occ_vol_[ox:, oy:, oz:]
+            )
+            cross_bits = cross_bits + (
+                jnp.pad(x, ((0, ox), (0, oy), (0, oz))).astype(jnp.uint8)
+                << jnp.uint8(c)
+            )
+        cb = cross_bits.reshape(-1)[lv]  # (MVL,) uint8
+        e_cross = (
+            (cb[:, None] >> jnp.arange(7, dtype=jnp.uint8)[None, :]) & 1
+        ).astype(jnp.bool_) & lv_ok[:, None]
         ce_idx = nonzero_compact(e_cross, V, 7 * MVL)
         slot_valid = ce_idx < 7 * MVL
         cei = jnp.where(slot_valid, ce_idx, 0)
-        ev0 = jnp.where(slot_valid, lo_vid[cei // 7], N)
-        ev1 = jnp.where(slot_valid, hi_vid.reshape(-1)[cei], N)
-        lo_xyz = lv_xyz[cei // 7]
+        li = cei // 7
         cls = (cei % 7).astype(jnp.int32)
+        lo_xyz = lv_xyz[li]
+        # endpoint vertex ids recomputed analytically on the V slots only
+        # (the dense (MVL, 7) hi_vid buffer is never materialized)
+        hi_xyz_s = lo_xyz + self._edge_offsets[cls]
+        ev0 = jnp.where(slot_valid, lv[li], N)
+        ev1 = jnp.where(
+            slot_valid,
+            (hi_xyz_s[..., 0] * n_lat + hi_xyz_s[..., 1]) * n_lat
+            + hi_xyz_s[..., 2],
+            N,
+        )
 
         vert_of_cand = jnp.full((7 * MVL + 1,), V, jnp.int32)
         vert_of_cand = vert_of_cand.at[

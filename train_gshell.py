@@ -40,6 +40,20 @@ def main():
         help="after training, UV-unwrap the mesh and bake kd/ks atlases at "
         "RES² (the reference's xatlas → render_uv flow)",
     )
+    p.add_argument(
+        "--snapshot-images", type=int, default=1, metavar="0|1",
+        help="render a training-progress image at each save_interval "
+        "(default on; disable for unattended runs on flaky links — the "
+        "snapshot render compiles fresh shapes and is the one optional "
+        "device call in the save path)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from OUT_DIR/state.pkl if present (state snapshots are "
+        "written every save_interval, so a preempted run loses at most one "
+        "interval; beyond-reference capability — the reference only saves "
+        "final state, train_gshelltet_deepfashion.py:689-700)",
+    )
     args = p.parse_args()
 
     from gshell_tpu.utils.config import load_flags, learning_rates
@@ -160,11 +174,27 @@ def main():
         )
 
     key = jax.random.PRNGKey(0)
-    state = rec.init_state(key, pretrain_steps=flags.sdf_mlp_pretrain_steps)
+    start_it = 0
+    state_path = os.path.join(flags.out_dir, "state.pkl")
+    if args.resume and os.path.exists(state_path):
+        import pickle
+
+        with open(state_path, "rb") as f:
+            state = pickle.load(f)
+        state = jax.tree_util.tree_map(jnp.asarray, state)
+        start_it = int(state.step)
+        key = jax.random.fold_in(key, start_it)
+        print(f"resumed from {state_path} at iter {start_it}", flush=True)
+    else:
+        state = rec.init_state(key, pretrain_steps=flags.sdf_mlp_pretrain_steps)
 
     t_hist = []
     t0 = time.time()
-    for it, target in enumerate(ds.iterate(flags.batch, flags.iter, background="random")):
+    n_remaining = max(flags.iter - start_it, 0)
+    for it_off, target in enumerate(
+        ds.iterate(flags.batch, n_remaining, background="random")
+    ):
+        it = start_it + it_off
         key, k = jax.random.split(key)
         state, m = rec.train_step(state, k, target)
         if it % args.log_interval == 0:
@@ -183,10 +213,18 @@ def main():
                 flush=True,
             )
         if flags.save_interval and it > 0 and it % flags.save_interval == 0:
-            _save_mesh(geo, state, flags.out_dir, it)
-            _save_snapshot_image(
-                geo, state, mat_cfg, rflags, target, flags.out_dir, it
-            )
+            # state first — the mesh/image dumps are diagnostics, and on the
+            # axon tunnel their fresh-shape renders can die to infra flakes
+            # (remote_compile drops); a multi-hour run must survive that.
+            _save_state(state, flags.out_dir)  # preemption snapshot
+            try:
+                _save_mesh(geo, state, flags.out_dir, it)
+                if args.snapshot_images:
+                    _save_snapshot_image(
+                        geo, state, mat_cfg, rflags, target, flags.out_dir, it
+                    )
+            except Exception as e:  # noqa: BLE001 — diagnostics only
+                print(f"snapshot dump failed at iter {it}: {e!r}", flush=True)
 
     _save_mesh(geo, state, flags.out_dir, flags.iter)
     _save_state(state, flags.out_dir)
@@ -278,8 +316,11 @@ def _save_mesh(geo, state, out_dir, it):
 def _save_state(state, out_dir):
     import pickle
 
-    with open(os.path.join(out_dir, "state.pkl"), "wb") as f:
+    path = os.path.join(out_dir, "state.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(jax.tree_util.tree_map(np.asarray, state), f)
+    os.replace(tmp, path)  # atomic: a kill mid-write can't corrupt the snapshot
 
 
 if __name__ == "__main__":
