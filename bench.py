@@ -188,13 +188,16 @@ def run_config(quick, res, grid, n_samples, batch):
         "vs_baseline": round(ips / baseline_a100, 4),
         "compile_sec": round(compile_time, 1),
     }
-    if step_flops:
-        # v5e (v5 lite) peaks: 197 TFLOP/s bf16 MXU, ~819 GB/s HBM.  This
-        # pipeline is gather/HBM-bound, so hbm_util is the honest ceiling
-        # measure; mfu is reported for completeness.
+    # v5e (v5 lite) peaks: 197 TFLOP/s bf16 MXU, ~819 GB/s HBM.  This
+    # pipeline is gather/HBM-bound, so hbm_util is the honest ceiling
+    # measure; mfu is reported for completeness.  A backend reporting
+    # flops == 0.0 is surfaced (not silently dropped), and hbm_util is
+    # emitted whenever bytes are available regardless of the flop count.
+    if step_flops is not None:
         tflops = step_flops * ips / 1e12
         out["achieved_tflops"] = round(tflops, 3)
         out["mfu"] = round(tflops / 197.0, 5)
+    if step_bytes is not None:
         out["hbm_util"] = round(step_bytes * ips / 819e9, 4)
     print(json.dumps(out))
     print(

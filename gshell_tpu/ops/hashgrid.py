@@ -33,6 +33,11 @@ class HashGridConfig(NamedTuple):
     log2_table_size: int = 19
     base_resolution: int = 16
     desired_resolution: int = 4096
+    # Pack 2-feature tables fp16×2 into one u32 gather on the exact-forward
+    # path (halves the hottest HBM access; matches tiny-cuda-nn's fp16
+    # tables).  False = full-precision f32 gathers, bit-identical to
+    # hashgrid_encode.
+    packed_fp16: bool = True
 
     @property
     def table_size(self) -> int:
@@ -132,14 +137,16 @@ def _feature_tables(params: HashGridParams, cfg: HashGridConfig):
 
 
 def _packed_feature_table(params: HashGridParams) -> jax.Array:
-    """Both features of a 2-feature table packed bf16×2 → one u32 per row.
+    """Both features of a 2-feature table packed fp16×2 → one u32 per row.
 
     The exact-forward gather is the hottest per-pixel HBM access in the
     whole train step (measured ~4–5 ns/row × P·8L rows per feature at 512²);
     packing halves the gathered rows.  fp16 feature precision matches
     tiny-cuda-nn's fp16 tables exactly (ref ``render/mlptexture.py:58-74``);
     this path treats tables as constants (x-gradients only), so quantization
-    never touches the table-gradient path."""
+    never touches the table-gradient path.  Callers needing full-precision
+    parity with :func:`hashgrid_encode` set ``HashGridConfig.packed_fp16 =
+    False`` (falls back to the two per-feature f32 gathers)."""
     t = jax.lax.stop_gradient(params.tables)  # (L, T, 2)
     u = jax.lax.bitcast_convert_type(t.astype(jnp.float16), jnp.uint16)
     u = u.astype(jnp.uint32)
@@ -172,7 +179,7 @@ def _encode_with_xjac(params: HashGridParams, x: jax.Array, cfg: HashGridConfig)
     L = cfg.n_levels
     idx, wgt, (dwx, dwy, dwz) = _corner_weight_arrays(x, cfg, with_jac=True)
 
-    if params.tables.shape[-1] == 2:
+    if params.tables.shape[-1] == 2 and cfg.packed_fp16:
         fu = _packed_feature_table(params)[idx]  # (P, 8L) u32 — one gather
         feats_per_f = _unpack_features(fu, x.dtype)
     else:

@@ -66,6 +66,27 @@ def test_table_grads_unbiased():
     assert err < 0.25, err
 
 
+def test_packed_fp16_opt_out_full_precision():
+    """packed_fp16=False: exact-forward path gathers f32 tables, so the
+    stochastic encode matches hashgrid_encode to f32 round-off (values AND
+    x-gradients) — the opt-in parity mode for callers that can't tolerate
+    fp16 feature quantization."""
+    cfg, params, x = setup()
+    cfg = cfg._replace(packed_fp16=False)
+    full = hashgrid_encode(params, x, cfg)
+    sto = hashgrid_encode_stochastic(params, x, cfg, jax.random.PRNGKey(2), 0.25)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(sto), rtol=1e-6, atol=1e-9)
+    g_full = jax.grad(lambda x_: hashgrid_encode(params, x_, cfg).sum())(x)
+    g_sto = jax.grad(
+        lambda x_: hashgrid_encode_stochastic(
+            params, x_, cfg, jax.random.PRNGKey(2), 0.25
+        ).sum()
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_full), np.asarray(g_sto), rtol=1e-5, atol=1e-8
+    )
+
+
 def test_x_jacobian_matches_autodiff():
     """Custom-VJP x-gradients == autodiff of the plain encode."""
     cfg, params, x = setup()

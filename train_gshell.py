@@ -192,7 +192,9 @@ def main():
     t0 = time.time()
     n_remaining = max(flags.iter - start_it, 0)
     for it_off, target in enumerate(
-        ds.iterate(flags.batch, n_remaining, background="random")
+        # seed=start_it: a resumed run continues the data stream instead of
+        # replaying the draws already consumed by iterations 0..start_it
+        ds.iterate(flags.batch, n_remaining, background="random", seed=start_it)
     ):
         it = start_it + it_off
         key, k = jax.random.split(key)
