@@ -207,6 +207,18 @@ def default_capacities(res: int, n_tets: int, n_edges: int, safety: float = 1.0)
     defaults below carry ≈2.5× headroom; extraction cost scales linearly
     with these, and saturation is observable via the mesh's
     ``n_valid_tets``/``n_active_cubes`` vs the capacities.
+
+    Budget guidance (tests/test_overflow_pressure.py pins this):
+    think in *sheet-equivalents* — one iso-surface sheet through the volume
+    costs ~9·res² tets and ~6·res² edges.  At ``safety=1.0`` the tet budget
+    covers ≈2.67 sheets but the EDGE budget only ≈2.0, so for multi-sheet /
+    thin-garment topologies the ``edge_slot_overflow`` training monitor is
+    the one that fires first (measured: a 2.4-sheet gyroid uses 90% of the
+    tet budget and 123% of the edge budget).  ``safety=0.5`` (the res-256
+    perf setting) halves both — safe for ≤1-sheet garments, and the
+    ``tet_slot_overflow``/``edge_slot_overflow`` metrics flag the moment it
+    is not; raise ``capacity_safety`` (values >1 are valid, capped at the
+    full grid) rather than trusting a silently clipped silhouette.
     """
     max_tets = min(n_tets, int(24 * res * res * safety))
     max_verts = min(n_edges, int(12 * res * res * safety))
