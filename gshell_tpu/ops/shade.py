@@ -667,6 +667,7 @@ def env_shade(
     visibility_fn: Callable | None = None,
     light_pool: int = 4096,
     mc_block: int = 8,
+    light_bf16: bool = True,
 ) -> ShadeBuffers:
     """Estimate (demodulated diffuse, specular) radiance per pixel.
 
@@ -681,9 +682,12 @@ def env_shade(
 
     diffuse_only = bsdf in ("diffuse", "white")
 
-    # Per-pixel Cranley-Patterson rotations decorrelate strata across pixels.
+    # Per-pixel Cranley-Patterson rotations decorrelate strata across pixels
+    # (BSDF-strategy (u,v) only; the light strategy decorrelates via the pool
+    # rotation, so its rot columns were dead reads — (P, 2) not (P, 6) keeps
+    # the per-step HBM traffic of this buffer at 8 B/pixel).
     k_rot, k_pool, k_loop = jax.random.split(key, 3)
-    rot = jax.random.uniform(k_rot, (p, 6))
+    rot = jax.random.uniform(k_rot, (p, 2))
 
     # --- Stratified light-sample pool (ref ops.py:86-91 permutation pool) ---
     # CDF inversion is gather-bound (~10 search rounds/pixel/step); but every
@@ -714,9 +718,18 @@ def env_shade(
 
     # base radiance + selection pdf packed in one texel: the BSDF strategy's
     # eval_light + light_pdf share the same (y, x) — one 4-wide gather.
+    # bf16 halves the bytes of this per-pixel-per-step random gather (the
+    # hottest light access: 64 steps × 3 walks); the ~0.3% radiance/pdf
+    # quantization is far below the n²-sample MC noise floor, and the cast
+    # transpose still routes the gather's scatter-add gradient to the f32
+    # light.base (the reference keeps f32 textures but reads them through
+    # HW-filtered texture units, kernel.cu:195-201 — bf16 is the TPU
+    # equivalent of that cheaper read path).
     light_packed = jnp.concatenate(
         [light.base, light.pdf[..., None].astype(light.base.dtype)], axis=-1
     )
+    if light_bf16:
+        light_packed = light_packed.astype(jnp.bfloat16)
 
     # ALL traced values travel through the custom-VJP accumulator's args —
     # the backward of an outer scan (lax.map over views) transposes the
@@ -817,8 +830,8 @@ def env_shade(
         d1, s1 = eval_sample(ray_dir, pdf_l + pdf_b, vis1, light_col1)
 
         # --- strategy 2: BSDF sampling (ref :521-529)
-        bu = jnp.mod((sx_i + u[:, 0]) * strata + rot[:, 2], 1.0)
-        bv = jnp.mod((sy_i + u[:, 1]) * strata + rot[:, 3], 1.0)
+        bu = jnp.mod((sx_i + u[:, 0]) * strata + rot[:, 0], 1.0)
+        bv = jnp.mod((sy_i + u[:, 1]) * strata + rot[:, 1], 1.0)
         ray_dir2, pdf_b2 = bsdf_sample(
             p_diffuse, gb_normal, wo, bu, bv, u[:, 2], alpha,
             diffuse_only=diffuse_only,
@@ -828,7 +841,7 @@ def env_shade(
         uv2 = dir_to_latlong_uv(ray_dir2)
         lx = jnp.clip((uv2[..., 0] * ww).astype(jnp.int32), 0, ww - 1)
         ly = jnp.clip((uv2[..., 1] * hh).astype(jnp.int32), 0, hh - 1)
-        texel = lp[ly, lx]  # (P, 4): radiance + selection pdf
+        texel = lp[ly, lx].astype(jnp.float32)  # (P, 4): radiance + sel. pdf
         light_col2 = texel[:, 0:3]
         sin_t = jnp.maximum(jnp.sin(uv2[..., 1:2] * math.pi), 1e-4)
         pdf_l2 = texel[:, 3:4] * (hh * ww) / (2.0 * math.pi * math.pi * sin_t)

@@ -81,6 +81,9 @@ class RenderFlags(NamedTuple):
     # MC steps evaluated per shade-loop iteration (vmapped) — see
     # ops.shade._mc_accumulate
     mc_block: int = 8
+    # bf16 packed light texel for the MC loop's per-pixel-per-step gather
+    # (halves its HBM bytes; quantization ≪ MC noise — ops.shade.env_shade)
+    light_bf16: bool = True
     # Fraction of (compacted) pixels that take the SECOND, world-jittered
     # material tap feeding the kd/ks smoothness regularizers (ref
     # render.py:68-74). The regularizer is a mean, so a random strided
@@ -420,6 +423,7 @@ def render_mesh(
             shadow_scale=shadow_scale,
             visibility_fn=visibility_fn,
             mc_block=flags.mc_block,
+            light_bf16=flags.light_bf16,
         )
         if idx_c is not None:
             ds = _scatter(jnp.concatenate([out.diffuse, out.specular], -1), 6)
@@ -617,7 +621,7 @@ def render_second_layer(
         kd_s, ks_s, light,
         n_samples_x=flags.n_samples, bsdf=flags.bsdf,
         shadow_scale=shadow_scale, visibility_fn=visibility_fn,
-        mc_block=flags.mc_block,
+        mc_block=flags.mc_block, light_bf16=flags.light_bf16,
     )
     kd_m_s = kd_s * (1.0 - ks_s[..., 2:3])
     shaded_rows = out.diffuse * kd_m_s + out.specular  # (Ps, 3)
