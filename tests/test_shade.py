@@ -302,8 +302,10 @@ def test_shadow_field_end_to_end_psnr():
     per-ray march (VERDICT r2 weak #5): shade a ground plane under a sphere
     occluder with BOTH visibility backends and the same RNG; the images must
     agree to reconstruction-irrelevant levels (the residual is direction-
-    quantization noise that the stratified MC dithers).  Chip-scale numbers
-    (512²) live in docs/STATUS.md; this guards the property in CI."""
+    quantization noise that the stratified MC dithers).  This CI test runs at
+    96² image / 64³ volume (measured 31.0 dB, <2% mean err); the production
+    evidence for the field backend is the end-to-end quality run in
+    docs/STATUS.md, which trains with field shadows at 512²."""
     from gshell_tpu.ops.shade import (
         make_sdf_visibility_parts,
         make_shadow_field_parts,
