@@ -39,6 +39,8 @@ VARIANTS = {
     "jtap0": {"jitter_tap_frac": 0.02},
     "eik4k": {"n_eikonal_samples": 4096},
     "mcblock16": {"mc_block": 16},
+    "mcblock1": {"mc_block": 1},
+    "light_f32": {"light_bf16": False},
     "budget375": {"shade_budget": 0.375},
 }
 
