@@ -1,4 +1,4 @@
-"""SVGF-style bilateral denoiser (spatial only), pure jnp with a custom VJP.
+"""SVGF-style bilateral denoiser (spatial only) with a custom VJP.
 
 TPU-native twin of the reference optixutils kernel
 ``render/optixutils/c_src/denoising.cu:20-72`` and the wrapper
@@ -11,11 +11,33 @@ weights (normals/depths) are treated as constants.  The custom VJP re-walks
 the taps in the backward instead of storing 529 per-tap residuals, which
 would otherwise cost taps × image = gigabytes of HLO temps under autodiff.
 
+Two stencil backends share the math:
+
+* ``_accumulate`` — pure-jnp fori_loop, one dynamic-slice per tap: the
+  reference twin (tests) and the CPU path.  Every tap re-reads the padded
+  guide images from HBM: 529 taps × ~10 MB × (fwd + bwd) × 2 instances per
+  layer — gigabytes of redundant traffic per train step.
+* ``_accumulate_pallas`` — TPU kernel: each grid program DMAs ONE halo
+  row-strip of the packed (channel, row, col) guide block into VMEM and
+  walks all 529 taps against that buffer, so the image is read from HBM
+  exactly once (plus the halo overlap).  Same structure as the reference
+  CUDA kernel, which also reads guides through the texture cache per tile.
+
+Measured on v5e (512², r=11, f32): XLA 6.1 ms vs Pallas 50 ms — at this
+size the stencil is VPU-COMPUTE-bound (529 taps × 262k px × ~35 ops ≈ 5 ms
+floor at 1024 lanes), and XLA's dynamic-slice loop already overlaps its
+per-tap HBM re-reads with that compute, so the one-HBM-pass kernel buys
+nothing and its roll/slice scheduling costs 8×.  The default backend is
+therefore ``xla`` everywhere; the kernel stays as an opt-in
+(``GSHELL_DENOISER_BACKEND=pallas``), bit-exact against the jnp twin
+(see tests/test_denoiser_pallas.py).
+
 ``sigma`` is a traced scalar so the influence ramp (``denoiser.py:26-29``)
 never recompiles; the tap radius is static and excess taps get ~0 weight.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -30,7 +52,9 @@ def _tap_weight(c_nrm, c_zdz, t_nrm, t_zdz, fx, fy, variance):
     dist_sqr = jnp.asarray(fx * fx + fy * fy, jnp.float32)
     dist = jnp.sqrt(dist_sqr)
     w_xy = jnp.exp(-dist_sqr / (2.0 * variance))
-    w_normal = jnp.power(jnp.clip(dot(t_nrm, c_nrm), FLT_EPS, 1.0), 128.0)
+    # ⟨n,n⟩¹²⁸ as lax.integer_pow (7 squarings) — a float exponent lowers to
+    # exp(128·log x): two transcendentals per tap × 529 taps × 4 instances
+    w_normal = jnp.clip(dot(t_nrm, c_nrm), FLT_EPS, 1.0) ** 128
     w_depth = jnp.exp(
         -(
             jnp.abs(t_zdz[..., 0:1] - c_zdz[..., 0:1])
@@ -62,16 +86,156 @@ def _accumulate(col, nrm, zdz, sigma, r):
     )
 
 
+def _accumulate_pallas(
+    col, nrm, zdz, sigma, r, denom_from_tap: bool = False,
+    interpret: bool = False, th: int = 64,
+):
+    """One-HBM-pass bilateral stencil (TPU Pallas).
+
+    Packs (col | nrm | zdz | mask) channel planes as (channel, row, col) —
+    channels on the untiled leading dim — and gives each grid program one
+    ``th``-row output strip: the program DMAs its (th+halo)-row strip into
+    VMEM once and evaluates all (2r+1)² taps as fully-unrolled static
+    slices of that buffer — the jnp twin re-reads the padded images from
+    HBM per tap instead.
+
+    ``denom_from_tap``: the w_depth denominator uses the TAP pixel's dz
+    (the transposed stencil of the custom-VJP backward) instead of the
+    center's.  Returns (acc_col (H, W, 3), acc_w (H, W, 1)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w, _ = col.shape
+    k = 2 * r + 1
+    hp = -(-h // th) * th
+    # Mosaic tiles the LAST TWO dims of a (C, H, W) memref as (8, 128)
+    # sublane×lane blocks; dim 0 is untiled, so per-channel scalar indexing
+    # is free there.  All sublane DMA slice sizes/offsets are kept multiples
+    # of 8 and the lane extent a multiple of 128:
+    halo = -(-(2 * r) // 8) * 8          # 22 → 24: sublane-aligned halo
+    wp = -(-(w + 2 * r) // 128) * 128    # lane extent, 128-aligned
+    # (channel, row, col) planes: [col3 | nrm3 | zdz2 | mask1]
+    guide = jnp.concatenate(
+        [col, nrm, zdz, jnp.ones((h, w, 1), col.dtype)], axis=-1
+    ).astype(jnp.float32)
+    packed = jnp.transpose(guide, (2, 0, 1))  # (9, h, w)
+    packed = jnp.pad(
+        packed, ((0, 0), (r, hp + halo - h - r), (r, wp - w - r))
+    )  # (9, hp+halo, wp); image origin at (r, r)
+    eps = float(FLT_EPS)
+
+    def kernel(sig_ref, guide_ref, out_ref, buf, sem):
+        i = pl.program_id(0)
+        # rows [i·th, i·th + th + halo): offset mult-of-8 (th=64), size
+        # th+halo = 88 mult-of-8, full lane extent — an expressible DMA.
+        dma = pltpu.make_async_copy(
+            guide_ref.at[:, pl.dslice(i * th, th + halo)], buf, sem
+        )
+        dma.start()
+        dma.wait()
+        inv2var = 0.5 / jnp.maximum(sig_ref[0] * sig_ref[0], eps)
+        nrows = th + halo
+
+        # Load each channel plane ONCE as a value.  Mosaic rejects vector
+        # loads at DYNAMIC sublane offsets ("cannot statically prove …
+        # multiple of 8") and fully unrolling fy (529 static taps) blows
+        # Mosaic compile time past 8 min, so the fy loop stays a rolled
+        # fori_loop and the row shift is a circular pltpu.roll on the
+        # value: roll(p, nrows − fy)[0:th] ≡ p[fy:fy+th] whenever
+        # fy ≤ halo (wrapped rows land beyond row th).  fx shifts are
+        # static value slices (any static offset is legal).
+        planes = [buf[c] for c in range(9)]  # (nrows, wp) each
+        c_n = [p[r:r + th, r:r + w] for p in planes[3:6]]
+        c_z = planes[6][r:r + th, r:r + w]
+        c_dz = planes[7][r:r + th, r:r + w]
+
+        def tap_row(fy, acc):
+            a0, a1, a2, aw = acc
+            fyf = fy.astype(jnp.float32) - float(r)
+            rowed = [pltpu.roll(p, nrows - fy, axis=0)[:th] for p in planes]
+
+            for fx in range(k):
+                def tap(c, fx=fx):
+                    return rowed[c][:, fx:fx + w]
+
+                fxf = float(fx - r)
+                dist_sqr = fyf * fyf + fxf * fxf
+                w_xy = jnp.exp(-dist_sqr * inv2var)
+                t_n = [tap(3 + d) for d in range(3)]
+                d_n = jnp.clip(
+                    t_n[0] * c_n[0] + t_n[1] * c_n[1] + t_n[2] * c_n[2],
+                    eps, 1.0,
+                )
+                w_n = d_n
+                for _ in range(7):  # ⟨n,n⟩¹²⁸ by squaring
+                    w_n = w_n * w_n
+                dz_sel = tap(7) if denom_from_tap else c_dz
+                w_d = jnp.exp(
+                    -jnp.abs(tap(6) - c_z)
+                    / jnp.maximum(dz_sel * jnp.sqrt(dist_sqr), eps)
+                )
+                wgt = w_xy * w_n * w_d * tap(8)  # mask folds into the weight
+                a0 = a0 + tap(0) * wgt
+                a1 = a1 + tap(1) * wgt
+                a2 = a2 + tap(2) * wgt
+                aw = aw + wgt
+            return a0, a1, a2, aw
+
+        z = jnp.zeros((th, w), jnp.float32)
+        a0, a1, a2, aw = jax.lax.fori_loop(0, k, tap_row, (z, z, z, z))
+        for c, v in enumerate((a0, a1, a2, aw)):
+            out_ref[c] = jnp.pad(v, ((0, 0), (0, wp - w)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(hp // th,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (4, th, wp), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((9, th + halo, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        # the rolled planes + live tap temporaries exceed the default 16 MB
+        # scoped-vmem stack at 512²; the chip has 128 MB of VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
+        interpret=interpret,
+    )(jnp.reshape(sigma, (1,)).astype(jnp.float32), packed)
+    out = jnp.transpose(out[:, :h, :w], (1, 2, 0))  # (h, w, 4)
+    return out[..., 0:3].astype(col.dtype), out[..., 3:4].astype(col.dtype)
+
+
+def _backend() -> str:
+    env = os.environ.get("GSHELL_DENOISER_BACKEND")
+    if env:
+        return env
+    # measured: XLA wins at the production working point (see module doc)
+    return "xla"
+
+
+def _acc_fwd(col, nrm, zdz, sigma, r):
+    if _backend() == "pallas":
+        return _accumulate_pallas(col, nrm, zdz, sigma, r)
+    return _accumulate(col, nrm, zdz, sigma, r)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def bilateral_denoiser(col, nrm, zdz, sigma, max_radius: int = 11):
     nrm = safe_normalize(nrm)
-    acc_col, acc_w = _accumulate(col, nrm, zdz, sigma, max_radius)
+    acc_col, acc_w = _acc_fwd(col, nrm, zdz, sigma, max_radius)
     return acc_col / jnp.maximum(acc_w, 1e-4)
 
 
 def _fwd(col, nrm, zdz, sigma, max_radius):
     nrm = safe_normalize(nrm)
-    acc_col, acc_w = _accumulate(col, nrm, zdz, sigma, max_radius)
+    acc_col, acc_w = _acc_fwd(col, nrm, zdz, sigma, max_radius)
     out = acc_col / jnp.maximum(acc_w, 1e-4)
     return out, (nrm, zdz, sigma, acc_w)
 
@@ -80,9 +244,17 @@ def _bwd(max_radius, res, g):
     nrm, zdz, sigma, acc_w = res
     r = max_radius
     h, w, _ = g.shape
-    variance = sigma * sigma
     gp = g / jnp.maximum(acc_w, 1e-4)  # upstream grad scaled by center weight
 
+    if _backend() == "pallas":
+        # Transposed stencil ≡ the same tap walk with the w_depth denominator
+        # taken from the tap pixel (substitute (fy,fx) → (−fy,−fx): w_xy and
+        # the |Δz| numerator are symmetric, only the denominator's dz swaps
+        # sides), with gp riding the color planes.
+        d_col, _ = _accumulate_pallas(gp, nrm, zdz, sigma, r, denom_from_tap=True)
+        return d_col, jnp.zeros_like(nrm), jnp.zeros_like(zdz), jnp.zeros_like(sigma)
+
+    variance = sigma * sigma
     gpp = jnp.pad(gp, ((r, r), (r, r), (0, 0)))
     nrmp = jnp.pad(nrm, ((r, r), (r, r), (0, 0)))
     zdzp = jnp.pad(zdz, ((r, r), (r, r), (0, 0)))
