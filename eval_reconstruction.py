@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -92,12 +93,15 @@ def main():
     results = {}
 
     def _render_batch_fn():
-        @jax.jit
-        def render_batch(batch):
+        # mesh/material/light ride as jit arguments: closed-over arrays
+        # become HLO constants and XLA constant-folds entire raster
+        # pipelines over them at compile time (7–16 s per folded op).
+        @partial(jax.jit, static_argnums=())
+        def _render_batch(batch, msh, mp, lt):
             def one(k, mvp, campos, bg):
                 return render_mesh(
-                    k, mesh.verts, mesh.faces, mesh.v_nrm, mesh.msdf,
-                    params_mat, mat_cfg, mvp, campos, light, rflags,
+                    k, msh.verts, msh.faces, msh.v_nrm, msh.msdf,
+                    mp, mat_cfg, mvp, campos, lt, rflags,
                     background=bg, shadow_scale=0.0,
                 )
 
@@ -106,7 +110,7 @@ def main():
                 keys, batch["mvp"], batch["campos"], batch["background"]
             )
 
-        return render_batch
+        return lambda batch: _render_batch(batch, mesh, params_mat, light)
 
     if args.synthetic_ref_mesh:
         # Held-out synthetic views: GT light/material seeds match

@@ -382,21 +382,28 @@ class DatasetMesh(PosedImageDataset):
         mvps, camposs, imgs = [], [], []
         invdepths, imgs2, invdepths2 = [], [], []
 
+        # The mesh/material/light ride as jit ARGUMENTS, not closures: a
+        # closed-over numpy mesh becomes an HLO constant and XLA constant-
+        # folds whole raster pipelines over it at compile time (measured:
+        # 7–16 s PER folded sort/reduce during GT pre-render startup).
         @jax.jit
-        def render_view(key, mvp, campos):
-            nrm = mesh.v_nrm if mesh.v_nrm is not None else None
+        def render_view(key, mvp, campos, v_pos, t_idx, v_nrm, mp, lt):
             buf = render_mesh(
-                key, mesh.v_pos, mesh.t_pos_idx, nrm, None,
-                mat_params, mat_cfg, mvp, campos, light, flags,
+                key, v_pos, t_idx, v_nrm, None,
+                mp, mat_cfg, mvp, campos, lt, flags,
                 shadow_scale=0.0,
             )
             if layers > 1:
                 buf.update(render_second_layer(
-                    key, mesh.v_pos, mesh.t_pos_idx,
-                    mesh.v_nrm, mat_params, mat_cfg, mvp, campos, light,
+                    key, v_pos, t_idx,
+                    v_nrm, mp, mat_cfg, mvp, campos, lt,
                     flags, shadow_scale=0.0,
                 ))
             return buf
+
+        v_pos_d = jnp.asarray(mesh.v_pos)
+        t_idx_d = jnp.asarray(mesh.t_pos_idx)
+        v_nrm_d = jnp.asarray(mesh.v_nrm) if mesh.v_nrm is not None else None
 
         proj = gmath.perspective(np.deg2rad(fovy_deg), w / h, 0.1, 1000.0)
         for i in range(n_views):
@@ -406,7 +413,10 @@ class DatasetMesh(PosedImageDataset):
             eye = jnp.asarray(v * cam_radius, jnp.float32)
             view = gmath.lookat(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
             mvp = proj @ view
-            buf = render_view(jax.random.PRNGKey(i), mvp, eye)
+            buf = render_view(
+                jax.random.PRNGKey(i), mvp, eye,
+                v_pos_d, t_idx_d, v_nrm_d, mat_params, light,
+            )
             img = np.array(buf["shaded"])  # writable copy (np.asarray of a
             img[..., 0:3] *= img[..., 3:]  # jax array is read-only)
             mvps.append(np.asarray(mvp))
