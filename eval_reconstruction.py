@@ -90,6 +90,24 @@ def main():
     light = update_pdf(jnp.asarray(light_base))
     mesh = jax.jit(geo.get_mesh)(params_geo)
 
+    # When the run trained with shadowed GT (flags.gt_shadows), the model's
+    # materials were fit under its own shadowing — evaluating shadow-free
+    # would systematically over-brighten.  Mirror the training render: the
+    # swept shadow field from the FITTED geometry's SDF lattice
+    # (train/reconstruct.py:149-160).
+    vis_cfg, vis_consts, eval_shadow_scale = None, {}, 0.0
+    if getattr(flags, "gt_shadows", False):
+        from gshell_tpu.ops.shade import make_shadow_field_parts
+        from gshell_tpu.train.reconstruct import TrainConfig as _TC
+
+        half = 0.5 * gcfg.scale * np.asarray(gcfg.boxscale)
+        sdf_grid = jax.jit(geo.sdf_lattice)(params_geo)
+        vis_cfg, vis_consts = make_shadow_field_parts(
+            sdf_grid, tuple((-half).tolist()), tuple((2 * half).tolist()),
+            ko=_TC().shadow_ko,
+        )
+        eval_shadow_scale = 1.0
+
     results = {}
 
     def _render_batch_fn():
@@ -97,12 +115,15 @@ def main():
         # become HLO constants and XLA constant-folds entire raster
         # pipelines over them at compile time (7–16 s per folded op).
         @partial(jax.jit, static_argnums=())
-        def _render_batch(batch, msh, mp, lt):
+        def _render_batch(batch, msh, mp, lt, vc):
+            vfn = None if vis_cfg is None else (vis_cfg, vc)
+
             def one(k, mvp, campos, bg):
                 return render_mesh(
                     k, msh.verts, msh.faces, msh.v_nrm, msh.msdf,
                     mp, mat_cfg, mvp, campos, lt, rflags,
-                    background=bg, shadow_scale=0.0,
+                    background=bg, shadow_scale=eval_shadow_scale,
+                    visibility_fn=vfn,
                 )
 
             keys = jax.random.split(jax.random.PRNGKey(0), batch["mvp"].shape[0])
@@ -110,7 +131,9 @@ def main():
                 keys, batch["mvp"], batch["campos"], batch["background"]
             )
 
-        return lambda batch: _render_batch(batch, mesh, params_mat, light)
+        return lambda batch: _render_batch(
+            batch, mesh, params_mat, light, vis_consts
+        )
 
     if args.synthetic_ref_mesh:
         # Held-out synthetic views: GT light/material seeds match
@@ -126,6 +149,7 @@ def main():
         ds = DatasetMesh(
             gt_mesh, gt_light, gt_mat, mat_cfg, rflags,
             n_views=args.n_views or 16, seed=777,
+            shadows=getattr(flags, "gt_shadows", False),
         )
         metrics = validate(
             _render_batch_fn(), ds, out_dir=args.out_dir,

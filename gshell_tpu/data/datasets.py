@@ -364,10 +364,19 @@ class DatasetMesh(PosedImageDataset):
 
     def __init__(self, mesh, light, mat_params, mat_cfg, flags, n_views: int = 64,
                  cam_radius: float = 3.0, fovy_deg: float = 45.0, seed: int = 0,
-                 layers: int = 1):
+                 layers: int = 1, shadows: bool = False,
+                 shadow_grid_res: int = 65):
         """``layers`` mirrors reference FLAGS.layers: with layers > 1 the
         dataset also emits 'img_second'/'invdepth_second' supervision
-        (ref dataset_mesh.py:110-124 returns shaded_second/invdepth buffers)."""
+        (ref dataset_mesh.py:110-124 returns shaded_second/invdepth buffers).
+
+        ``shadows``: render the GT through the same swept-shadow-field path
+        training uses (reference parity — dataset_mesh.py GT goes through the
+        full OptiX pipeline including shadow rays).  The occluder volume is a
+        surface-splat occupancy grid of the GT mesh over its padded bounds;
+        a SHADOW-FREE GT paired with shadowed training makes the optimizer
+        over-brighten materials to offset its own shadowing (measured: the
+        512² skirt run plateaus at img_loss ≈ 0.6 with saturated albedo)."""
         super().__init__()
         from ..render.render import render_mesh, render_second_layer
 
@@ -387,23 +396,63 @@ class DatasetMesh(PosedImageDataset):
         # folds whole raster pipelines over it at compile time (measured:
         # 7–16 s PER folded sort/reduce during GT pre-render startup).
         @jax.jit
-        def render_view(key, mvp, campos, v_pos, t_idx, v_nrm, mp, lt):
+        def render_view(key, mvp, campos, v_pos, t_idx, v_nrm, mp, lt, vc):
+            # the 13 MB shadow field rides as an argument too (closure
+            # arrays bake into HLO constants — see note above)
+            vfn = None if vis_cfg is None else (vis_cfg, vc)
             buf = render_mesh(
                 key, v_pos, t_idx, v_nrm, None,
                 mp, mat_cfg, mvp, campos, lt, flags,
-                shadow_scale=0.0,
+                shadow_scale=shadow_scale, visibility_fn=vfn,
             )
             if layers > 1:
                 buf.update(render_second_layer(
                     key, v_pos, t_idx,
                     v_nrm, mp, mat_cfg, mvp, campos, lt,
-                    flags, shadow_scale=0.0,
+                    flags, shadow_scale=shadow_scale,
+                    visibility_fn=vfn,
                 ))
             return buf
 
         v_pos_d = jnp.asarray(mesh.v_pos)
         t_idx_d = jnp.asarray(mesh.t_pos_idx)
         v_nrm_d = jnp.asarray(mesh.v_nrm) if mesh.v_nrm is not None else None
+
+        shadow_scale = 0.0
+        if shadows:
+            from ..ops.mesh_ops import sample_surface
+            from ..ops.shade import make_shadow_field_parts
+
+            # occupancy: splat area-weighted surface samples into a lattice
+            # over the mesh's padded bounds (threshold 0 ⇒ occupied > 0)
+            # fixed splat seed: the GT shadow field must be identical
+            # between the training dataset and the held-out eval dataset
+            # (whose view seeds differ)
+            n_splat = 1 << 17
+            pts = sample_surface(
+                jax.random.PRNGKey(191), v_pos_d, t_idx_d, n_splat
+            )
+            lo = jnp.min(v_pos_d, axis=0)
+            hi = jnp.max(v_pos_d, axis=0)
+            pad = 0.05 * jnp.max(hi - lo)
+            aabb_min = lo - pad
+            aabb_size = (hi - lo) + 2 * pad
+            res = shadow_grid_res
+            ijk = jnp.clip(
+                ((pts - aabb_min) / aabb_size * (res - 1)).astype(jnp.int32),
+                0, res - 1,
+            )
+            occ = (
+                jnp.zeros((res, res, res), jnp.float32)
+                .at[ijk[:, 0], ijk[:, 1], ijk[:, 2]]
+                .set(1.0)
+            )
+            vis_cfg, vis_consts = make_shadow_field_parts(
+                occ, aabb_min, aabb_size
+            )
+            shadow_scale = 1.0
+        else:
+            vis_cfg, vis_consts = None, {}
 
         proj = gmath.perspective(np.deg2rad(fovy_deg), w / h, 0.1, 1000.0)
         for i in range(n_views):
@@ -415,7 +464,7 @@ class DatasetMesh(PosedImageDataset):
             mvp = proj @ view
             buf = render_view(
                 jax.random.PRNGKey(i), mvp, eye,
-                v_pos_d, t_idx_d, v_nrm_d, mat_params, light,
+                v_pos_d, t_idx_d, v_nrm_d, mat_params, light, vis_consts,
             )
             img = np.array(buf["shaded"])  # writable copy (np.asarray of a
             img[..., 0:3] *= img[..., 3:]  # jax array is read-only)

@@ -70,6 +70,11 @@ class Flags:
     use_img_2nd_layer: bool = False
     use_depth_2nd_layer: bool = False
     layers: int = 1  # depth-peel layers for DatasetMesh GT (ref -l flag)
+    # Render the synthetic DatasetMesh ground truth WITH the shadow field
+    # (reference parity: dataset_mesh.py renders GT through the same shadowed
+    # pipeline as training).  Without this, training (shadowed) fits
+    # shadow-free targets and compensates by over-brightening materials.
+    gt_shadows: bool = False
     sdf_mlp_pretrain_steps: int = 1000
     use_mesh_msdf_reg: bool = True
     sphere_init: bool = False

@@ -103,3 +103,72 @@ def test_grid_dataset_and_splits(tmp_path):
     batch = ds.sample_batch(np.random.default_rng(0), 2)
     assert batch["grid"].shape == (2, 4, 4, 4, 2)
     assert batch["occgrid"].shape == (2, 8, 8, 8, 1)
+
+
+def test_dataset_mesh_shadowed_gt_darker():
+    """GT-parity shadows (Flags.gt_shadows): a DatasetMesh built with
+    shadows=True renders the GT through the same swept-shadow-field path
+    training uses, so shadowed foreground pixels must be strictly darker on
+    average than the shadow-free GT of the identical scene.  (Shadow-free GT
+    paired with shadowed training makes the optimizer over-brighten
+    materials — the round-4 root cause of the 512² quality plateau.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from gshell_tpu.data.datasets import DatasetMesh
+    from gshell_tpu.render.light import create_trainable_env_rnd
+    from gshell_tpu.render.material import (
+        MLPTexture3DConfig,
+        default_kd_ks_min_max,
+        init_mlp_texture,
+    )
+    from gshell_tpu.render.mesh import load_obj, unit_size
+    from gshell_tpu.render.render import RenderFlags
+    from gshell_tpu.ops.hashgrid import HashGridConfig
+
+    # deep open bowl: strong self-shadowing (a convex sphere has almost none)
+    import tempfile
+
+    nu, nv = 24, 10
+    lines = []
+    for i in range(nv + 1):
+        th = 0.5 * np.pi * (0.35 + 0.65 * i / nv)  # lower cap only: open bowl
+        for j in range(nu):
+            ph = 2 * np.pi * j / nu
+            lines.append(
+                "v %f %f %f"
+                % (np.sin(th) * np.cos(ph), -np.cos(th), np.sin(th) * np.sin(ph))
+            )
+    for i in range(nv):
+        for j in range(nu):
+            a = i * nu + j + 1
+            b = i * nu + (j + 1) % nu + 1
+            c = (i + 1) * nu + (j + 1) % nu + 1
+            d = (i + 1) * nu + j + 1
+            lines.append(f"f {a} {b} {c}")
+            lines.append(f"f {a} {c} {d}")
+    with tempfile.NamedTemporaryFile("w", suffix=".obj", delete=False) as f:
+        f.write("\n".join(lines))
+        path = f.name
+
+    mesh = unit_size(load_obj(path))
+    mat_cfg = MLPTexture3DConfig(
+        channels=6, hash=HashGridConfig(n_levels=4, log2_table_size=10),
+        min_max=default_kd_ks_min_max(),
+    )
+    mat = init_mlp_texture(jax.random.PRNGKey(43), mat_cfg)
+    light = create_trainable_env_rnd(jax.random.PRNGKey(42), 32)
+    flags = RenderFlags(resolution=(48, 48), n_samples=2, bsdf="pbr",
+                        use_denoiser=False)
+
+    kw = dict(n_views=2, seed=5, cam_radius=2.5)
+    ds_free = DatasetMesh(mesh, light, mat, mat_cfg, flags, **kw)
+    ds_shad = DatasetMesh(mesh, light, mat, mat_cfg, flags, shadows=True,
+                          shadow_grid_res=33, **kw)
+
+    fg = ds_free.imgs[..., 3:] > 0.5
+    mean_free = float((ds_free.imgs[..., :3] * fg).sum() / fg.sum())
+    mean_shad = float((ds_shad.imgs[..., :3] * fg).sum() / fg.sum())
+    assert np.isfinite(mean_free) and np.isfinite(mean_shad)
+    # same scene, same views, same RNG — only the shadow field differs
+    assert mean_shad < mean_free * 0.98, (mean_shad, mean_free)

@@ -165,7 +165,7 @@ def main():
         gt_mat = init_mlp_texture(jax.random.PRNGKey(43), mat_cfg)
         ds = DatasetMesh(
             gt_mesh, gt_light, gt_mat, mat_cfg, rflags, n_views=64,
-            layers=flags.layers,
+            layers=flags.layers, shadows=flags.gt_shadows,
         )
     else:
         raise SystemExit(
