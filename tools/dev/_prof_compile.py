@@ -35,9 +35,13 @@ gcfg = GeometryConfig(grid_res=GRID, use_sdf_mlp=True, use_eikonal=True,
 geo = GShellGeometry(gcfg)
 mat_cfg = MLPTexture3DConfig(channels=6, hash=HashGridConfig(),
                              min_max=default_kd_ks_min_max())
+import os
+
+MC_BLOCK = int(os.environ.get("GSHELL_MC_BLOCK", "8"))
 flags = RenderFlags(resolution=(RES, RES), n_samples=SPP, bsdf="pbr",
-                    use_denoiser=True, tiled_raster=True, max_per_tile=1024,
-                    shade_budget=0.5, mc_block=8)
+                    use_denoiser=os.environ.get("PROF_DENOISER", "1") == "1",
+                    tiled_raster=True, max_per_tile=1024,
+                    shade_budget=0.5, mc_block=MC_BLOCK)
 tcfg = TrainConfig(batch=BATCH, use_shadows=True)
 rec = Reconstructor(geo, mat_cfg, flags, tcfg)
 state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=1)
@@ -65,26 +69,37 @@ pg = state.params_geo
 ctime("extract fwd", lambda p: geo.extract(p) if hasattr(geo, "extract")
       else geo.get_mesh(p), pg)
 
-# 2. one-view render fwd (no shadows)
+# 1b. extraction fwd+bwd (the cut machinery's VJP graph)
+ctime("extract fwd+bwd", jax.grad(
+    lambda p: sum(
+        x.sum() for x in jax.tree_util.tree_leaves(geo.get_mesh(p))
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+    )), pg)
+
+# 2. one-view render fwd (no shadows) — mesh rides as an ARGUMENT (a
+# closed-over mesh becomes an HLO constant and XLA constant-folds whole
+# raster pipelines over it, poisoning the compile timing)
 mesh = jax.jit(geo.get_mesh)(pg)
 light = update_pdf(state.light_base)
 
 
-def render_one(mp, lb):
+def render_one(mp, lb, msh):
     l = update_pdf(lb)
-    return render_mesh(key, mesh.verts, mesh.faces, mesh.v_nrm, mesh.msdf,
+    return render_mesh(key, msh.verts, msh.faces, msh.v_nrm, msh.msdf,
                        mp, mat_cfg, mvp[0], campos[0], l, flags)["shaded"]
 
 
-ctime("render 1-view fwd", render_one, state.params_mat, state.light_base)
+ctime("render 1-view fwd", render_one, state.params_mat, state.light_base,
+      mesh)
 
 # 3. one-view render fwd+bwd
-def render_loss(mp, lb):
-    return render_one(mp, lb).sum()
+def render_loss(mp, lb, msh):
+    return render_one(mp, lb, msh).sum()
 
 
-ctime("render 1-view fwd+bwd (mat+light)", jax.grad(render_loss, (0, 1)),
-      state.params_mat, state.light_base)
+ctime("render 1-view fwd+bwd (mat+light)",
+      jax.grad(render_loss, (0, 1)),
+      state.params_mat, state.light_base, mesh)
 
 # 4. full tick loss fwd+bwd (all params) — the train step minus optimizers
 def tick_loss(p_geo, p_mat, lb):
