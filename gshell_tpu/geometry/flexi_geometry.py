@@ -125,13 +125,12 @@ class GShellFlexiGeometry:
     def tick(self, key, params, mat_params, mat_cfg, light, target, iteration,
              flags: RenderFlags, image_loss_fn, visibility_fn=None,
              shadow_scale=1.0, denoiser_sigma=2.0, spatial_mesh=None):
-        """Same loss structure as GShellGeometry.tick + L_dev×0.25 (ref :358)."""
-        if spatial_mesh is not None:
-            raise NotImplementedError(
-                "banded (view × band) sharding is implemented for the tets "
-                "geometry only — construct Reconstructor without mesh= for "
-                "FlexiCubes"
-            )
+        """Same loss structure as GShellGeometry.tick + L_dev×0.25 (ref :358).
+
+        ``spatial_mesh``: (view × band) device-mesh sharding of the RENDER,
+        same structure as the tets path (geometry.py tick); FlexiCubes
+        extraction itself stays replicated (the r2 banded formula: render/N +
+        replicated extraction)."""
         cfg = self.cfg
         mesh = self.get_mesh(params, training=True)
         v_def, sdf, msdf = self.fields(params)
@@ -145,33 +144,93 @@ class GShellFlexiGeometry:
         k_render, k_eik = keys[:-1], keys[-1]
         second = cfg.use_img_2nd_layer or cfg.use_depth_2nd_layer
 
-        def render_one(k, mvp, campos, bg):
+        def render_one_impl(
+            k, mvp, campos, bg, flags_, verts, faces, v_nrm, msdf_v,
+            mat_p, light_, vis_fn, sh_scale, dn_sigma,
+        ):
             buffers = render_mesh(
-                k, mesh.verts, faces_c, mesh.v_nrm, mesh.msdf,
-                mat_params, mat_cfg, mvp, campos, light, flags,
-                background=bg, visibility_fn=visibility_fn,
-                shadow_scale=shadow_scale, denoiser_sigma=denoiser_sigma,
+                k, verts, faces, v_nrm, msdf_v,
+                mat_p, mat_cfg, mvp, campos, light_, flags_,
+                background=bg, visibility_fn=vis_fn,
+                shadow_scale=sh_scale, denoiser_sigma=dn_sigma,
             )
             if second:
                 from ..render.render import render_second_layer
 
                 buffers.update(
                     render_second_layer(
-                        k, mesh.verts, faces_c, mesh.v_nrm,
-                        mat_params, mat_cfg, mvp, campos, light, flags,
-                        background=bg, shadow_scale=shadow_scale,
-                        visibility_fn=visibility_fn,
+                        k, verts, faces, v_nrm,
+                        mat_p, mat_cfg, mvp, campos, light_, flags_,
+                        background=bg, shadow_scale=sh_scale,
+                        visibility_fn=vis_fn,
                     )
                 )
             return buffers
 
-        render_fn = lambda args: render_one(*args)
-        if target["mvp"].shape[0] > 1:
-            render_fn = jax.checkpoint(render_fn)
-        buffers = jax.lax.map(
-            render_fn,
-            (k_render, target["mvp"], target["campos"], target["background"]),
-        )
+        def render_one(k, mvp, campos, bg):
+            return render_one_impl(
+                k, mvp, campos, bg, flags, mesh.verts, faces_c, mesh.v_nrm,
+                mesh.msdf, mat_params, light, visibility_fn,
+                shadow_scale, denoiser_sigma,
+            )
+
+        if spatial_mesh is not None:
+            # (view × band) sharding — identical machinery to the tets tick
+            # (geometry.py): scene state rides the consts pytree; shard_map's
+            # transpose psums the gradients.
+            from ..parallel.spatial import render_batch_banded
+
+            if visibility_fn is not None and not isinstance(visibility_fn, tuple):
+                raise TypeError(
+                    "the banded path needs visibility_fn as a (cfg, consts) "
+                    "tuple (the traced consts travel through shard_map); a "
+                    "bare callable cannot cross the shard boundary"
+                )
+            vis_cfg = visibility_fn[0] if isinstance(visibility_fn, tuple) else None
+            consts = {
+                "verts": mesh.verts,
+                "v_nrm": mesh.v_nrm,
+                "msdf": mesh.msdf,
+                "faces": faces_c,
+                "mat": mat_params,
+                "light": light,
+                "vis": visibility_fn[1] if vis_cfg is not None else {},
+                "shadow_scale": jnp.asarray(shadow_scale, jnp.float32),
+                "denoiser_sigma": jnp.asarray(denoiser_sigma, jnp.float32),
+            }
+
+            def render_band(c, k, mvp_b, campos_b, bg_b, band_res):
+                vfn = (vis_cfg, c["vis"]) if vis_cfg is not None else None
+                return render_one_impl(
+                    k, mvp_b, campos_b, bg_b,
+                    flags._replace(resolution=band_res),
+                    c["verts"], c["faces"], c["v_nrm"], c["msdf"],
+                    c["mat"], c["light"], vfn,
+                    c["shadow_scale"], c["denoiser_sigma"],
+                )
+
+            nb = spatial_mesh.shape["band"]
+            keys_vb = jax.vmap(lambda kk: jax.random.split(kk, nb))(k_render)
+            if jnp.issubdtype(keys_vb.dtype, jax.dtypes.prng_key):
+                keys_vb = jax.random.key_data(keys_vb)
+            buffers = render_batch_banded(
+                spatial_mesh,
+                render_band,
+                consts,
+                keys_vb,
+                target["mvp"],
+                target["campos"],
+                target["background"],
+                flags.resolution,
+            )
+        else:
+            render_fn = lambda args: render_one(*args)
+            if target["mvp"].shape[0] > 1:
+                render_fn = jax.checkpoint(render_fn)
+            buffers = jax.lax.map(
+                render_fn,
+                (k_render, target["mvp"], target["campos"], target["background"]),
+            )
 
         color_ref = target["img"]
         gt_mask = color_ref[..., 3:]

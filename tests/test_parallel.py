@@ -373,3 +373,41 @@ def test_sharded_extraction_matches_replicated():
     )
     for a, b in zip(g_ref, g_sh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_banded_train_step_flexicubes():
+    """The (view × band) sharded render also drives the FlexiCubes geometry
+    (round-3 scope cut closed): full sharded train step on the 2×4 CPU mesh
+    with finite loss/grads, loss matching the unsharded step loosely (same
+    estimator, different RNG lanes per band).  FlexiCubes extraction stays
+    replicated; only the render shards."""
+    from gshell_tpu.geometry.flexi_geometry import (
+        FlexiGeometryConfig,
+        GShellFlexiGeometry,
+    )
+    from gshell_tpu.train.reconstruct import Reconstructor, TrainConfig
+
+    _, mat_cfg, flags, target, mesh = _banded_setup()
+    gcfg = FlexiGeometryConfig(
+        grid_res=12, use_sdf_mlp=False, use_eikonal=False,
+        n_eikonal_samples=512,
+    )
+    geo = GShellFlexiGeometry(gcfg)
+    tcfg = TrainConfig(batch=2, use_shadows=True, shadow_ko=4)
+    rec_sh = Reconstructor(geo, mat_cfg, flags, tcfg, mesh=mesh)
+    rec_un = Reconstructor(geo, mat_cfg, flags, tcfg)
+    key = jax.random.PRNGKey(0)
+    state = rec_sh.init_state(key, pretrain_steps=0)
+    state_sh, m_sh = rec_sh.train_step(state, jax.random.PRNGKey(5), target)
+    assert np.isfinite(float(m_sh["total"]))
+
+    state_un, m_un = rec_un.train_step(state, jax.random.PRNGKey(5), target)
+    np.testing.assert_allclose(
+        float(m_sh["img_loss"]), float(m_un["img_loss"]), rtol=0.15
+    )
+    d_sh = jax.tree_util.tree_leaves(state_sh.params_geo)
+    d0 = jax.tree_util.tree_leaves(state.params_geo)
+    assert any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0 for a, b in zip(d_sh, d0)
+    )
