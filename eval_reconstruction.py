@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -102,6 +101,10 @@ def main():
 
         half = 0.5 * gcfg.scale * np.asarray(gcfg.boxscale)
         sdf_grid = jax.jit(geo.sdf_lattice)(params_geo)
+        # shadow_ko/method follow TrainConfig defaults, which is what
+        # train_gshell.py trains with (it exposes no override today) — if a
+        # knob for these ever lands in Flags, thread it through here too so
+        # eval keeps rendering with the field the run actually trained with
         vis_cfg, vis_consts = make_shadow_field_parts(
             sdf_grid, tuple((-half).tolist()), tuple((2 * half).tolist()),
             ko=_TC().shadow_ko,
@@ -114,7 +117,7 @@ def main():
         # mesh/material/light ride as jit arguments: closed-over arrays
         # become HLO constants and XLA constant-folds entire raster
         # pipelines over them at compile time (7–16 s per folded op).
-        @partial(jax.jit, static_argnums=())
+        @jax.jit
         def _render_batch(batch, msh, mp, lt, vc):
             vfn = None if vis_cfg is None else (vis_cfg, vc)
 

@@ -215,6 +215,12 @@ def _accumulate_pallas(
 def _backend() -> str:
     env = os.environ.get("GSHELL_DENOISER_BACKEND")
     if env:
+        if env not in ("xla", "pallas"):
+            raise ValueError(
+                f"GSHELL_DENOISER_BACKEND={env!r}: expected 'xla' or "
+                "'pallas' (a typo here would silently benchmark the wrong "
+                "backend)"
+            )
         return env
     # measured: XLA wins at the production working point (see module doc)
     return "xla"

@@ -151,7 +151,10 @@ def test_dataset_mesh_shadowed_gt_darker():
         f.write("\n".join(lines))
         path = f.name
 
-    mesh = unit_size(load_obj(path))
+    try:
+        mesh = unit_size(load_obj(path))
+    finally:
+        os.unlink(path)
     mat_cfg = MLPTexture3DConfig(
         channels=6, hash=HashGridConfig(n_levels=4, log2_table_size=10),
         min_max=default_kd_ks_min_max(),
