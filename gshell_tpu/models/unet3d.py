@@ -47,43 +47,70 @@ def ddpm_init(scale: float = 1.0):
 
 
 class GroupNormF32(nn.Module):
+    """GroupNorm with f32 statistics (ref GroupNormFloat32, layers.py:28).
+
+    Hand-rolled rather than ``x.astype(f32) -> nn.GroupNorm``: on a bf16
+    activation the astype would make XLA materialize a full f32 copy of x as
+    the reduce input (3 GB at 128³×384 — the top allocation in the 128³ OOM
+    dump).  Here the two reductions accumulate in f32 directly from bf16 and
+    the normalize+affine chain is elementwise, so the only materialized
+    output is bf16."""
+
     num_groups: int = 32
     eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x):
-        dtype = x.dtype
-        x = x.astype(jnp.float32)
-        g = math.gcd(self.num_groups, x.shape[-1])
-        x = nn.GroupNorm(num_groups=g, epsilon=self.eps)(x)
-        return x.astype(dtype)
+        c = x.shape[-1]
+        g = math.gcd(self.num_groups, c)
+        xr = x.reshape(x.shape[:-1] + (g, c // g))
+        red = tuple(range(1, xr.ndim - 2)) + (xr.ndim - 1,)
+        mean = jnp.mean(xr, axis=red, keepdims=True, dtype=jnp.float32)
+        mean2 = jnp.mean(
+            jnp.square(xr.astype(jnp.float32)), axis=red, keepdims=True
+        )
+        inv = jax.lax.rsqrt(jnp.maximum(mean2 - jnp.square(mean), 0.0) + self.eps)
+        y = (xr.astype(jnp.float32) - mean) * inv
+        y = y.reshape(x.shape)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (y * scale + bias).astype(x.dtype)
 
 
 class ResBlock(nn.Module):
-    """DDPM ResNet block (ref layers.py:230-...)."""
+    """DDPM ResNet block (ref layers.py:230-...).
+
+    ``skip`` (the U-Net lateral connection) is concatenated INSIDE the block
+    rather than at the call site: under nn.remat the block's *arguments* are
+    the saved residuals, and the skip tensor is already alive as a down-path
+    value — passing it separately lets XLA alias it instead of storing a
+    second copy inside a materialized concat (0.5 GB/block at 128³)."""
 
     out_ch: Optional[int] = None
     dropout: float = 0.1
     use_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb=None, train: bool = False):
+    def __call__(self, x, temb=None, train: bool = False, skip=None):
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
         in_ch = x.shape[-1]
         out_ch = self.out_ch or in_ch
         h = nn.silu(GroupNormF32()(x))
-        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ddpm_init())(h)
+        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ddpm_init(), dtype=self.dtype)(h)
         if temb is not None:
-            h = h + nn.Dense(out_ch, kernel_init=ddpm_init())(nn.silu(temb))[
-                :, None, None, None, :
-            ]
+            h = h + nn.Dense(out_ch, kernel_init=ddpm_init(), dtype=self.dtype)(
+                nn.silu(temb)
+            )[:, None, None, None, :]
         h = nn.silu(GroupNormF32()(h))
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ddpm_init(0.0))(h)
+        h = nn.Conv(out_ch, (3, 3, 3), kernel_init=ddpm_init(0.0), dtype=self.dtype)(h)
         if in_ch != out_ch:
-            x = nn.Conv(out_ch, (1, 1, 1), kernel_init=ddpm_init())(x)
+            x = nn.Conv(out_ch, (1, 1, 1), kernel_init=ddpm_init(), dtype=self.dtype)(x)
         h = x + h
         if self.use_attn:
-            h = AttnBlock()(h)
+            h = AttnBlock(dtype=self.dtype)(h)
         return h
 
 
@@ -93,23 +120,26 @@ class AttnBlock(nn.Module):
     fused dot-product attention over flattened tokens — XLA maps it onto the
     MXU (SURVEY.md §5.7)."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x):
         b, d, h, w, c = x.shape
         y = GroupNormF32()(x)
-        q = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init())(y).reshape(b, -1, c)
-        k = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init())(y).reshape(b, -1, c)
-        v = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init())(y).reshape(b, -1, c)
+        q = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init(), dtype=self.dtype)(y).reshape(b, -1, c)
+        k = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init(), dtype=self.dtype)(y).reshape(b, -1, c)
+        v = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init(), dtype=self.dtype)(y).reshape(b, -1, c)
         attn = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32), k.astype(jnp.float32))
         attn = jax.nn.softmax(attn * (c ** -0.5), axis=-1)
         out = jnp.einsum("bqk,bkc->bqc", attn, v.astype(jnp.float32)).astype(x.dtype)
         out = out.reshape(b, d, h, w, c)
-        out = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init(0.0))(out)
+        out = nn.Conv(c, (1, 1, 1), kernel_init=ddpm_init(0.0), dtype=self.dtype)(out)
         return x + out
 
 
 class Downsample(nn.Module):
     with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -117,19 +147,21 @@ class Downsample(nn.Module):
         if self.with_conv:
             # DDPM 'SAME' emulation: pad (0,1) on each spatial dim (ref layers.py:212-218)
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0)))
-            return nn.Conv(c, (3, 3, 3), strides=2, padding="VALID", kernel_init=ddpm_init())(x)
+            return nn.Conv(c, (3, 3, 3), strides=2, padding="VALID",
+                           kernel_init=ddpm_init(), dtype=self.dtype)(x)
         return nn.avg_pool(x, (2, 2, 2), strides=(2, 2, 2))
 
 
 class Upsample(nn.Module):
     with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, d, h, w, c = x.shape
         x = jax.image.resize(x, (b, d * 2, h * 2, w * 2, c), "nearest")
         if self.with_conv:
-            x = nn.Conv(c, (3, 3, 3), kernel_init=ddpm_init())(x)
+            x = nn.Conv(c, (3, 3, 3), kernel_init=ddpm_init(), dtype=self.dtype)(x)
         return x
 
 
@@ -185,19 +217,19 @@ class UNet3D(nn.Module):
 
         x = x * feature_mask
         temb = get_timestep_embedding(timesteps, nf)
-        temb = nn.Dense(nf * 4, kernel_init=ddpm_init())(temb)
-        temb = nn.Dense(nf * 4, kernel_init=ddpm_init())(nn.silu(temb))
+        temb = nn.Dense(nf * 4, kernel_init=ddpm_init(), dtype=cdt)(temb)
+        temb = nn.Dense(nf * 4, kernel_init=ddpm_init(), dtype=cdt)(nn.silu(temb))
 
-        h = nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init())(x)
-        h = h + nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init())(
+        h = nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init(), dtype=cdt)(x)
+        h = h + nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init(), dtype=cdt)(
             jnp.broadcast_to(pixcat_mask, (x.shape[0],) + pixcat_mask.shape[1:])
         )
         if cfg.use_occ and occ is not None:
             if occ_mask is None:
                 occ_mask = jnp.ones((1,) + occ.shape[1:4] + (1,), occ.dtype)
             occ = occ * occ_mask
-            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init())(occ)
-            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init())(
+            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init(), dtype=cdt)(occ)
+            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init(), dtype=cdt)(
                 jnp.broadcast_to(occ_mask, (x.shape[0],) + occ_mask.shape[1:])
             )
 
@@ -211,15 +243,16 @@ class UNet3D(nn.Module):
                     out_ch=nf * cfg.ch_mult[i_level],
                     dropout=cfg.dropout,
                     use_attn=(btype == "AttnResBlock"),
+                    dtype=cdt,
                 )(hs[-1], temb, train)
                 hs.append(h)
             if i_level != n_levels - 1:
-                hs.append(Downsample(cfg.resamp_with_conv)(hs[-1]))
+                hs.append(Downsample(cfg.resamp_with_conv, dtype=cdt)(hs[-1]))
 
         # Middle
         h = hs[-1]
-        h = Res(dropout=cfg.dropout, use_attn=True)(h, temb, train)
-        h = Res(dropout=cfg.dropout)(h, temb, train)
+        h = Res(dropout=cfg.dropout, use_attn=True, dtype=cdt)(h, temb, train)
+        h = Res(dropout=cfg.dropout, dtype=cdt)(h, temb, train)
 
         # Upsampling
         for i_level, btype in enumerate(cfg.up_block_types):
@@ -229,17 +262,20 @@ class UNet3D(nn.Module):
                 else cfg.num_res_blocks
             )
             for _ in range(nrb + 1):
+                # skip passed separately; concat happens inside the (rematted)
+                # block so the saved residual aliases the live down-path value
                 h = Res(
                     out_ch=nf * cfg.ch_mult[n_levels - i_level - 1],
                     dropout=cfg.dropout,
                     use_attn=(btype == "AttnResBlock"),
-                )(jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
+                    dtype=cdt,
+                )(h, temb, train, hs.pop())
             if i_level != n_levels - 1:
-                h = Upsample(cfg.resamp_with_conv)(h)
+                h = Upsample(cfg.resamp_with_conv, dtype=cdt)(h)
 
         assert not hs
         h = nn.silu(GroupNormF32()(h))
-        grid = nn.Conv(cfg.data_ch, (5, 5, 5), kernel_init=ddpm_init(0.0))(h)
+        grid = nn.Conv(cfg.data_ch, (5, 5, 5), kernel_init=ddpm_init(0.0), dtype=cdt)(h)
         grid = grid.astype(jnp.float32) * feature_mask
 
         grid_occ = None
@@ -248,7 +284,7 @@ class UNet3D(nn.Module):
             # 'SAME' padding gives the same in·stride output extent.
             grid_occ = nn.ConvTranspose(
                 1, (4, 4, 4), strides=(2, 2, 2), padding="SAME",
-                kernel_init=ddpm_init(),
+                kernel_init=ddpm_init(), dtype=cdt,
             )(h)
             grid_occ = grid_occ.astype(jnp.float32) * occ_mask
         return grid, grid_occ

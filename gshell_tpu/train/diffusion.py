@@ -98,7 +98,12 @@ class DiffusionTrainer:
 
     # ---------------- init ----------------
     def init_state(self, key: jax.Array) -> DiffusionTrainState:
-        d = self.cfg.grid_size
+        # Init at a small spatial proxy: flax init EXECUTES the forward pass,
+        # and a full f32 (1,128³,4)+(1,256³,1) forward OOMs one 16 GB chip
+        # before training even starts.  The UNet is fully convolutional —
+        # params depend only on channel dims — so a 32³ init (the minimum for
+        # the 2⁵ down path) yields bit-identical param shapes at any grid.
+        d = min(self.cfg.grid_size, 32)
         x = jnp.zeros((1, d, d, d, self.cfg.data_ch))
         occ = jnp.zeros((1, 2 * d, 2 * d, 2 * d, 1)) if self.cfg.use_occ else None
         variables = self.model.init(
@@ -111,7 +116,13 @@ class DiffusionTrainer:
             ema=ema_init(params),
             step=jnp.zeros((), jnp.int32),
         )
-        # replicate params across the mesh; batches get sharded per step
+        # replicate params across the mesh; batches get sharded per step.
+        # Single-device mesh: skip the put — tree_map(device_put) would hold
+        # a full second copy of the 6.6 GB reference-size state while the
+        # originals are still referenced, and the transient doubling is what
+        # pushes the (4,128³)+(1,256³) working point over one chip's HBM.
+        if self.mesh.size == 1:
+            return state
         rep = replicated(self.mesh)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
 
@@ -126,18 +137,29 @@ class DiffusionTrainer:
         One jitted step = scan microbatches, mean grads, one optimizer step —
         the reference's no_sync() inner loop (trainer_ddp.py:133-158)."""
 
-        def micro(carry, mb):
-            g_acc, l_acc, k = carry
-            k, sub = jax.random.split(k)
-            loss, g = jax.value_and_grad(self.loss_fn)(state.params, sub, mb)
-            g_acc = jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g)
-            return (g_acc, l_acc + loss, k), None
-
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        (g_sum, loss_sum, _), _ = jax.lax.scan(
-            micro, (zeros, 0.0, key), batch
-        )
         a = self.cfg.num_grad_acc_steps
+        if a == 1:
+            # Single microbatch: skip the scan so no params-sized zero
+            # accumulator is materialized (1.6 GB f32 at the reference
+            # 411M-param UNet — the difference between fitting and OOM on
+            # one 16 GB chip at the (4,128³)+(1,256³) working point).
+            _, sub = jax.random.split(key)
+            mb = jax.tree_util.tree_map(lambda t: t[0], batch)
+            loss_sum, g_sum = jax.value_and_grad(self.loss_fn)(
+                state.params, sub, mb
+            )
+        else:
+            def micro(carry, mb):
+                g_acc, l_acc, k = carry
+                k, sub = jax.random.split(k)
+                loss, g = jax.value_and_grad(self.loss_fn)(state.params, sub, mb)
+                g_acc = jax.tree_util.tree_map(lambda a_, b: a_ + b, g_acc, g)
+                return (g_acc, l_acc + loss, k), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, loss_sum, _), _ = jax.lax.scan(
+                micro, (zeros, 0.0, key), batch
+            )
         grads = jax.tree_util.tree_map(lambda g: g / a, g_sum)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

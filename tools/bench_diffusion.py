@@ -15,8 +15,13 @@ update) and projects the full recipe on v5e-8: DP over 8 chips replaces the
 
 Usage: python tools/bench_diffusion.py [grid_size] [batch] [n_iters]
 Prints one JSON line (ms/step, it/s, params, cost-model MFU/HBM, projection).
+
+GSHELL_BENCH_COMPILE_ONLY=1 stops after AOT compile + memory_analysis —
+the axon compile helper is chipless, so the HBM fit of the 128³ working
+point can be iterated on while the chip is busy with another run.
 """
 import json
+import os
 import sys
 import time
 
@@ -54,28 +59,61 @@ def main():
         "grid": jnp.ones((1, b, d, d, d, 4)) * 0.1,
         "occgrid": jnp.ones((1, b, 2 * d, 2 * d, 2 * d, 1)) * 0.1,
     }
-    t0 = time.time()
-    state, m = trainer.train_step(state, key, batch)
-    loss0 = float(m["loss"])  # scalar transfer syncs (axon: block_until_ready lies)
-    compile_sec = time.time() - t0
-    print(f"# compile+first: {compile_sec:.1f}s loss={loss0:.4f}", file=sys.stderr)
-
+    # Compile explicitly first: memory_analysis tells us the temp/peak HBM
+    # before any execution, and phase markers localize tunnel stalls.
     step_flops = step_bytes = None
+    aot_sec = None
+    t0 = time.time()
+    compiled = None
     try:
-        ca = type(trainer).train_step.lower(
-            trainer, state, key, batch
-        ).compile().cost_analysis()
+        lowered = type(trainer).train_step.lower(trainer, state, key, batch)
+        print(f"# lowered: {time.time()-t0:.1f}s", file=sys.stderr)
+        compiled = lowered.compile()
+        aot_sec = time.time() - t0
+        print(f"# compiled: {aot_sec:.1f}s", file=sys.stderr)
+        try:
+            ma = compiled.memory_analysis()
+            if ma is not None:
+                print(
+                    "# memory: args %.2f GB out %.2f GB temp %.2f GB"
+                    % (
+                        ma.argument_size_in_bytes / 2**30,
+                        ma.output_size_in_bytes / 2**30,
+                        ma.temp_size_in_bytes / 2**30,
+                    ),
+                    file=sys.stderr,
+                )
+        except Exception as e:
+            print(f"# memory_analysis unavailable: {e}", file=sys.stderr)
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         step_flops = float(ca.get("flops", 0.0))
         step_bytes = float(ca.get("bytes accessed", 0.0))
     except Exception as e:  # best-effort (backends vary)
-        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        print(f"# cost_analysis unavailable: {str(e)[:500]}", file=sys.stderr)
+
+    if os.environ.get("GSHELL_BENCH_COMPILE_ONLY"):
+        print("# compile-only mode: exiting before execution", file=sys.stderr)
+        sys.exit(0 if compiled is not None else 1)
+
+    # Execute through the AOT-compiled object (the jit path would compile a
+    # second copy of the same program — minutes at the 128³ working point).
+    step = (
+        (lambda s, k, b: compiled(s, k, b))
+        if compiled is not None
+        else trainer.train_step
+    )
+    t0 = time.time()
+    state, m = step(state, key, batch)
+    loss0 = float(m["loss"])  # scalar transfer syncs (axon: block_until_ready lies)
+    compile_sec = time.time() - t0
+    print(f"# first step: {compile_sec:.1f}s loss={loss0:.4f}", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(n):
         key, k = jax.random.split(key)
-        state, m = trainer.train_step(state, k, batch)
+        state, m = step(state, k, batch)
     float(m["loss"])
     dt = (time.time() - t0) / n
     ips = 1.0 / dt
@@ -90,7 +128,7 @@ def main():
         "unit": "ms/step",
         "iters_per_sec": round(ips, 3),
         "params_M": round(n_params / 1e6, 1),
-        "compile_sec": round(compile_sec, 1),
+        "compile_sec": round(aot_sec if aot_sec is not None else compile_sec, 1),
         "recipe_2p4M_days_v5e8": round(recipe_days, 2),
     }
     if step_flops is not None:
