@@ -129,7 +129,18 @@ def run_config(quick, res, grid, n_samples, batch):
     )
     tcfg = TrainConfig(batch=batch, use_shadows=True)
     rec = Reconstructor(geo, mat_cfg, flags, tcfg)
-    state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=100 if quick else 1000)
+    compile_only = bool(os.environ.get("GSHELL_BENCH_COMPILE_ONLY"))
+    if compile_only:
+        # compile-only: lower against abstract shapes (jax.eval_shape) — no
+        # device memory, no device programs; the chip stays free for
+        # whatever run owns it (the axon compile helper itself is chipless)
+        state = jax.eval_shape(
+            lambda k: rec.init_state(k, pretrain_steps=1), jax.random.PRNGKey(0)
+        )
+    else:
+        state = rec.init_state(
+            jax.random.PRNGKey(0), pretrain_steps=100 if quick else 1000
+        )
 
     # Synthetic target batch (disk silhouette)
     proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
@@ -151,6 +162,26 @@ def run_config(quick, res, grid, n_samples, batch):
 
     # Warmup (compile)
     t0 = time.time()
+    if compile_only:
+        # AOT compile + HBM fit report, no execution (warms the persistent
+        # compilation cache so the later on-chip run starts instantly)
+        compiled = type(rec).train_step.lower(rec, state, key, target).compile()
+        print(f"# compile-only: {time.time()-t0:.1f}s", file=sys.stderr)
+        try:
+            ma = compiled.memory_analysis()
+            if ma is not None:
+                print(
+                    "# memory: args %.2f GB out %.2f GB temp %.2f GB"
+                    % (
+                        ma.argument_size_in_bytes / 2**30,
+                        ma.output_size_in_bytes / 2**30,
+                        ma.temp_size_in_bytes / 2**30,
+                    ),
+                    file=sys.stderr,
+                )
+        except Exception as e:
+            print(f"# memory_analysis unavailable: {e}", file=sys.stderr)
+        return
     state, m = rec.train_step(state, key, target)
     float(m["total"])  # scalar transfer: block_until_ready returns early on axon
     compile_time = time.time() - t0

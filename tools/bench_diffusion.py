@@ -47,7 +47,14 @@ def main():
     unet_cfg = UNet3DConfig(data_ch=4, use_occ=True, remat=True,
                             compute_dtype="bfloat16")
     trainer = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+    compile_only = bool(os.environ.get("GSHELL_BENCH_COMPILE_ONLY"))
+    if compile_only:
+        # abstract state: no device memory, no device programs — compile-only
+        # runs cleanly while another run owns the chip (device transfers
+        # would otherwise starve behind its back-to-back steps)
+        state = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
+    else:
+        state = trainer.init_state(jax.random.PRNGKey(0))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(
         f"# UNet3D params: {n_params/1e6:.1f}M  grid {d}^3 occ {2*d}^3 batch {b}",
@@ -55,10 +62,15 @@ def main():
     )
 
     key = jax.random.PRNGKey(1)
-    batch = {
-        "grid": jnp.ones((1, b, d, d, d, 4)) * 0.1,
-        "occgrid": jnp.ones((1, b, 2 * d, 2 * d, 2 * d, 1)) * 0.1,
+    bshape = {
+        "grid": jax.ShapeDtypeStruct((1, b, d, d, d, 4), jnp.float32),
+        "occgrid": jax.ShapeDtypeStruct((1, b, 2 * d, 2 * d, 2 * d, 1), jnp.float32),
     }
+    batch = (
+        bshape
+        if compile_only
+        else {k: jnp.ones(v.shape, v.dtype) * 0.1 for k, v in bshape.items()}
+    )
     # Compile explicitly first: memory_analysis tells us the temp/peak HBM
     # before any execution, and phase markers localize tunnel stalls.
     step_flops = step_bytes = None

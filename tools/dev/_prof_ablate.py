@@ -3,7 +3,13 @@
 Runs the full reconstruction step, then variants with one feature disabled
 each; the ms delta attributes that feature's cost.  Usage:
     python tools/dev/_prof_ablate.py 512,64,8,1 [variant,variant,...]
+
+GSHELL_BENCH_COMPILE_ONLY=1: AOT-compile each variant against abstract
+(eval_shape) state and report compile seconds only — no device memory or
+programs, so it can run while the chip is busy; the persistent compilation
+cache it warms makes the later on-chip pass start instantly.
 """
+import os
 import sys
 import time
 
@@ -66,7 +72,12 @@ def make(over):
         channels=6, hash=HashGridConfig(), min_max=default_kd_ks_min_max()
     )
     rec = Reconstructor(geo, mat_cfg, RenderFlags(**fkw), TrainConfig(**tkw))
-    state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=50)
+    if COMPILE_ONLY:
+        state = jax.eval_shape(
+            lambda k: rec.init_state(k, pretrain_steps=1), jax.random.PRNGKey(0)
+        )
+    else:
+        state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=50)
     proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
     view = gmath.lookat(jnp.array([0.0, 0.0, 2.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
     mvp = (proj @ view)[None].repeat(batch, 0)
@@ -80,6 +91,8 @@ def make(over):
     return rec, state, target
 
 
+COMPILE_ONLY = bool(os.environ.get("GSHELL_BENCH_COMPILE_ONLY"))
+
 names = sys.argv[2].split(",") if len(sys.argv) > 2 else list(VARIANTS)
 base_ms = None
 for name in names:
@@ -87,6 +100,12 @@ for name in names:
     try:
         rec, state, target = make(over)
         key = jax.random.PRNGKey(1)
+        if COMPILE_ONLY:
+            t0 = time.time()
+            type(rec).train_step.lower(rec, state, key, target).compile()
+            print(f"{name:14s} compile={time.time()-t0:6.1f}s (AOT, cache warmed)",
+                  flush=True)
+            continue
         t0 = time.time()
         state, m = rec.train_step(state, key, target)
         float(m["total"])
