@@ -135,7 +135,7 @@ def run_config(quick, res, grid, n_samples, batch):
         # device memory, no device programs; the chip stays free for
         # whatever run owns it (the axon compile helper itself is chipless)
         state = jax.eval_shape(
-            lambda k: rec.init_state(k, pretrain_steps=1), jax.random.PRNGKey(0)
+            lambda: rec.init_state(jax.random.PRNGKey(0), pretrain_steps=1)
         )
     else:
         state = rec.init_state(
@@ -143,22 +143,32 @@ def run_config(quick, res, grid, n_samples, batch):
         )
 
     # Synthetic target batch (disk silhouette)
-    proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
-    view = gmath.lookat(jnp.array([0.0, 0.0, 2.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
-    mvp = (proj @ view)[None].repeat(batch, 0)
-    campos = jnp.array([[0.0, 0.0, 2.5]]).repeat(batch, 0)
-    ys, xs = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing="ij")
-    r = jnp.sqrt((xs - res / 2) ** 2 + (ys - res / 2) ** 2)
-    mask = (r < 0.3 * res).astype(jnp.float32)[None, ..., None].repeat(batch, 0)
-    img = jnp.concatenate([jnp.ones((batch, res, res, 3)) * 0.5 * mask, mask], -1)
-    target = {
-        "mvp": mvp,
-        "campos": campos,
-        "img": img,
-        "background": jnp.zeros((batch, res, res, 3)),
-    }
+    def make_target():
+        proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
+        view = gmath.lookat(
+            jnp.array([0.0, 0.0, 2.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0])
+        )
+        mvp = (proj @ view)[None].repeat(batch, 0)
+        campos = jnp.array([[0.0, 0.0, 2.5]]).repeat(batch, 0)
+        ys, xs = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing="ij")
+        r = jnp.sqrt((xs - res / 2) ** 2 + (ys - res / 2) ** 2)
+        mask = (r < 0.3 * res).astype(jnp.float32)[None, ..., None].repeat(batch, 0)
+        img = jnp.concatenate([jnp.ones((batch, res, res, 3)) * 0.5 * mask, mask], -1)
+        return {
+            "mvp": mvp,
+            "campos": campos,
+            "img": img,
+            "background": jnp.zeros((batch, res, res, 3)),
+        }
 
-    key = jax.random.PRNGKey(1)
+    if compile_only:
+        # fully abstract (even the key): one concrete device put would block
+        # behind another process's exclusive chip claim
+        target = jax.eval_shape(make_target)
+        key = jax.eval_shape(lambda: jax.random.PRNGKey(1))
+    else:
+        target = make_target()
+        key = jax.random.PRNGKey(1)
 
     # Warmup (compile)
     t0 = time.time()

@@ -52,7 +52,7 @@ def main():
         # abstract state: no device memory, no device programs — compile-only
         # runs cleanly while another run owns the chip (device transfers
         # would otherwise starve behind its back-to-back steps)
-        state = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
+        state = jax.eval_shape(lambda: trainer.init_state(jax.random.PRNGKey(0)))
     else:
         state = trainer.init_state(jax.random.PRNGKey(0))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
@@ -61,16 +61,18 @@ def main():
         file=sys.stderr,
     )
 
-    key = jax.random.PRNGKey(1)
     bshape = {
         "grid": jax.ShapeDtypeStruct((1, b, d, d, d, 4), jnp.float32),
         "occgrid": jax.ShapeDtypeStruct((1, b, 2 * d, 2 * d, 2 * d, 1), jnp.float32),
     }
-    batch = (
-        bshape
-        if compile_only
-        else {k: jnp.ones(v.shape, v.dtype) * 0.1 for k, v in bshape.items()}
-    )
+    if compile_only:
+        # fully abstract args (even the PRNG key): a single concrete device
+        # put would block behind another process's exclusive chip claim
+        key = jax.eval_shape(lambda: jax.random.PRNGKey(1))
+        batch = bshape
+    else:
+        key = jax.random.PRNGKey(1)
+        batch = {k: jnp.ones(v.shape, v.dtype) * 0.1 for k, v in bshape.items()}
     # Compile explicitly first: memory_analysis tells us the temp/peak HBM
     # before any execution, and phase markers localize tunnel stalls.
     step_flops = step_bytes = None

@@ -74,20 +74,24 @@ def make(over):
     rec = Reconstructor(geo, mat_cfg, RenderFlags(**fkw), TrainConfig(**tkw))
     if COMPILE_ONLY:
         state = jax.eval_shape(
-            lambda k: rec.init_state(k, pretrain_steps=1), jax.random.PRNGKey(0)
+            lambda: rec.init_state(jax.random.PRNGKey(0), pretrain_steps=1)
         )
     else:
         state = rec.init_state(jax.random.PRNGKey(0), pretrain_steps=50)
-    proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
-    view = gmath.lookat(jnp.array([0.0, 0.0, 2.5]), jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
-    mvp = (proj @ view)[None].repeat(batch, 0)
-    campos = jnp.array([[0.0, 0.0, 2.5]]).repeat(batch, 0)
-    ys, xs = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing="ij")
-    r = jnp.sqrt((xs - res / 2) ** 2 + (ys - res / 2) ** 2)
-    mask = (r < 0.3 * res).astype(jnp.float32)[None, ..., None].repeat(batch, 0)
-    img = jnp.concatenate([jnp.ones((batch, res, res, 3)) * 0.5 * mask, mask], -1)
-    target = {"mvp": mvp, "campos": campos, "img": img,
-              "background": jnp.zeros((batch, res, res, 3))}
+    def make_target():
+        proj = gmath.perspective(np.deg2rad(45.0), 1.0, 0.1, 1000.0)
+        view = gmath.lookat(jnp.array([0.0, 0.0, 2.5]), jnp.zeros(3),
+                            jnp.array([0.0, 1.0, 0.0]))
+        mvp = (proj @ view)[None].repeat(batch, 0)
+        campos = jnp.array([[0.0, 0.0, 2.5]]).repeat(batch, 0)
+        ys, xs = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing="ij")
+        r = jnp.sqrt((xs - res / 2) ** 2 + (ys - res / 2) ** 2)
+        mask = (r < 0.3 * res).astype(jnp.float32)[None, ..., None].repeat(batch, 0)
+        img = jnp.concatenate([jnp.ones((batch, res, res, 3)) * 0.5 * mask, mask], -1)
+        return {"mvp": mvp, "campos": campos, "img": img,
+                "background": jnp.zeros((batch, res, res, 3))}
+
+    target = jax.eval_shape(make_target) if COMPILE_ONLY else make_target()
     return rec, state, target
 
 
@@ -99,13 +103,14 @@ for name in names:
     over = VARIANTS[name]
     try:
         rec, state, target = make(over)
-        key = jax.random.PRNGKey(1)
         if COMPILE_ONLY:
+            key = jax.eval_shape(lambda: jax.random.PRNGKey(1))
             t0 = time.time()
             type(rec).train_step.lower(rec, state, key, target).compile()
             print(f"{name:14s} compile={time.time()-t0:6.1f}s (AOT, cache warmed)",
                   flush=True)
             continue
+        key = jax.random.PRNGKey(1)
         t0 = time.time()
         state, m = rec.train_step(state, key, target)
         float(m["total"])
