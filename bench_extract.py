@@ -10,6 +10,10 @@ import sys
 import time
 
 import jax
+
+from gshell_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()  # make JAX_PLATFORMS=cpu actually mean cpu here
 import jax.numpy as jnp
 import numpy as np
 

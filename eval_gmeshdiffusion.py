@@ -17,6 +17,10 @@ import glob
 import os
 
 import jax
+
+from gshell_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()  # make JAX_PLATFORMS=cpu actually mean cpu here
 import jax.numpy as jnp
 import numpy as np
 

@@ -49,6 +49,54 @@ class DiffusionTrainConfig:
     param_dtype: str = "float32"
 
 
+def _is_groupnorm_mod(key: str, val) -> bool:
+    return (
+        key.startswith("GroupNormF32")
+        and isinstance(val, dict)
+        and set(val) == {"scale", "bias"}
+    )
+
+
+def _wrap_groupnorm_template(tree):
+    """New-format state -> old-format template: every GroupNormF32 module's
+    flat ``{scale,bias}`` moves under a nested ``GroupNorm_0`` submodule (the
+    layout the pre-rewrite wrapper around nn.GroupNorm produced)."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            return {
+                k: ({"GroupNorm_0": v} if _is_groupnorm_mod(k, v) else rec(v))
+                for k, v in node.items()
+            }
+        if hasattr(node, "_fields"):  # NamedTuple (DiffusionTrainState etc.)
+            return type(node)(*(rec(v) for v in node))
+        return node
+
+    return rec(tree)
+
+
+def _unwrap_groupnorm(tree):
+    """Old-format restored state -> new format: inverse of the wrap."""
+
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (
+                    k.startswith("GroupNormF32")
+                    and isinstance(v, dict)
+                    and set(v) == {"GroupNorm_0"}
+                ):
+                    v = v["GroupNorm_0"]
+                out[k] = rec(v)
+            return out
+        if hasattr(node, "_fields"):
+            return type(node)(*(rec(v) for v in node))
+        return node
+
+    return rec(tree)
+
+
 class DiffusionTrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
@@ -121,7 +169,12 @@ class DiffusionTrainer:
         # a full second copy of the 6.6 GB reference-size state while the
         # originals are still referenced, and the transient doubling is what
         # pushes the (4,128³)+(1,256³) working point over one chip's HBM.
-        if self.mesh.size == 1:
+        if self.mesh.size == 1 and (
+            self.mesh.devices.flat[0] == jax.devices()[0]
+        ):
+            # Only safe to skip when the mesh's single device IS the default
+            # device flax init already placed the params on; a mesh over a
+            # non-default device must still get the explicit put.
             return state
         rep = replicated(self.mesh)
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
@@ -138,6 +191,16 @@ class DiffusionTrainer:
         the reference's no_sync() inner loop (trainer_ddp.py:133-158)."""
 
         a = self.cfg.num_grad_acc_steps
+        lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if lead != a:
+            # Shapes are static under jit, so this is a trace-time check.
+            # Both branches would otherwise mis-handle a mismatch silently:
+            # a==1 drops microbatches [1:], a>1 scans `lead` times but
+            # divides by `a`.
+            raise ValueError(
+                f"batch leading (accumulation) axis is {lead} but "
+                f"num_grad_acc_steps={a}"
+            )
         if a == 1:
             # Single microbatch: skip the scan so no params-sized zero
             # accumulator is materialized (1.6 GB f32 at the reference
@@ -179,10 +242,23 @@ class DiffusionTrainer:
 
     def restore_checkpoint(self, path: str, state: DiffusionTrainState):
         """Graceful restore: returns ``state`` unchanged if no checkpoint
-        (ref utils.py:6-36)."""
+        (ref utils.py:6-36).
+
+        Checkpoint-format migration: GroupNormF32 was rewritten from a
+        wrapper around ``nn.GroupNorm`` (params at
+        ``GroupNormF32_i/GroupNorm_0/{scale,bias}``) to a hand-rolled module
+        holding ``{scale,bias}`` directly.  Numerics are identical, but the
+        pytree structure changed, so checkpoints saved before that commit no
+        longer match the template.  On a structure mismatch we retry against
+        the OLD layout and rename the leaves forward."""
         import orbax.checkpoint as ocp
 
         if not os.path.exists(path):
             return state
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(os.path.abspath(path), state)
+        try:
+            return ckptr.restore(os.path.abspath(path), state)
+        except Exception:
+            old_state = _wrap_groupnorm_template(state)
+            restored = ckptr.restore(os.path.abspath(path), old_state)
+            return _unwrap_groupnorm(restored)

@@ -150,3 +150,83 @@ def test_distributed_grid_sampler(tmp_path):
     # second call advances the step-seeded draw
     batch2 = sampler()
     assert not np.allclose(np.asarray(batch2["grid"]), want)
+
+
+def test_restore_migrates_old_groupnorm_checkpoint(tmp_path):
+    """Checkpoints saved before the GroupNormF32 rewrite stored scale/bias
+    under a nested GroupNorm_0 submodule; restore must rename those leaves
+    into the current flat layout (ADVICE r4, unet3d.py:75)."""
+    from gshell_tpu.train.diffusion import (
+        _unwrap_groupnorm,
+        _wrap_groupnorm_template,
+    )
+
+    d = 8
+    unet_cfg = UNet3DConfig(
+        data_ch=2, base_channels=8, ch_mult=(1, 2),
+        down_block_types=("ResBlock", "ResBlock"),
+        up_block_types=("ResBlock", "ResBlock"),
+        num_res_blocks=1, num_res_blocks_1st_layer=1, dropout=0.0,
+    )
+    cfg = DiffusionTrainConfig(
+        grid_size=d, data_ch=2, use_occ=True, num_grad_acc_steps=1, warmup=10
+    )
+    trainer = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # wrap/unwrap are exact inverses and actually touch GroupNorm leaves
+    wrapped = _wrap_groupnorm_template(state)
+    flat_new = jax.tree_util.tree_structure(state)
+    flat_old = jax.tree_util.tree_structure(wrapped)
+    assert flat_new != flat_old
+    roundtrip = _unwrap_groupnorm(wrapped)
+    assert jax.tree_util.tree_structure(roundtrip) == flat_new
+
+    # simulate an OLD checkpoint on disk: save the wrapped (old-layout) state
+    import orbax.checkpoint as ocp
+
+    ckpt = str(tmp_path / "old-format")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt, wrapped, force=True)
+    ckptr.wait_until_finished()
+
+    # restoring against the NEW-layout template must migrate transparently
+    trainer2 = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    state2 = trainer2.init_state(jax.random.PRNGKey(1))
+    restored = trainer2.restore_checkpoint(ckpt, state2)
+    assert jax.tree_util.tree_structure(restored) == flat_new
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # and the migrated state steps
+    batch = {
+        "grid": jnp.ones((1, 2, d, d, d, 2)) * 0.1,
+        "occgrid": jnp.ones((1, 2, 2 * d, 2 * d, 2 * d, 1)) * 0.1,
+    }
+    restored, m = trainer2.train_step(restored, jax.random.PRNGKey(3), batch)
+    assert jnp.isfinite(float(m["loss"]))
+
+
+def test_train_step_rejects_accum_axis_mismatch():
+    """A>1 microbatches with num_grad_acc_steps==1 must be a loud error, not
+    silently dropped microbatches (ADVICE r4, diffusion.py:147)."""
+    d = 8
+    unet_cfg = UNet3DConfig(
+        data_ch=2, base_channels=8, ch_mult=(1, 2),
+        down_block_types=("ResBlock", "ResBlock"),
+        up_block_types=("ResBlock", "ResBlock"),
+        num_res_blocks=1, num_res_blocks_1st_layer=1, dropout=0.0,
+    )
+    cfg = DiffusionTrainConfig(
+        grid_size=d, data_ch=2, use_occ=True, num_grad_acc_steps=1, warmup=10
+    )
+    trainer = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = {
+        "grid": jnp.ones((2, 2, d, d, d, 2)) * 0.1,
+        "occgrid": jnp.ones((2, 2, 2 * d, 2 * d, 2 * d, 1)) * 0.1,
+    }
+    with pytest.raises(ValueError, match="accumulation"):
+        trainer.train_step(state, jax.random.PRNGKey(1), batch)

@@ -28,6 +28,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS"):
+    # axon plugin overrides the env var; re-apply through jax.config so
+    # JAX_PLATFORMS=cpu really runs chipless (see utils/platform.py)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main():
     sys.path.insert(0, ".")
@@ -107,12 +112,18 @@ def main():
     except Exception as e:  # best-effort (backends vary)
         print(f"# cost_analysis unavailable: {str(e)[:500]}", file=sys.stderr)
 
-    if os.environ.get("GSHELL_BENCH_COMPILE_ONLY"):
+    if compile_only:
         print("# compile-only mode: exiting before execution", file=sys.stderr)
         sys.exit(0 if compiled is not None else 1)
 
     # Execute through the AOT-compiled object (the jit path would compile a
     # second copy of the same program — minutes at the 128³ working point).
+    if compiled is None:
+        print(
+            "# AOT compile failed; falling back to the jit path "
+            "(will recompile the same program — minutes at 128^3)",
+            file=sys.stderr,
+        )
     step = (
         (lambda s, k, b: compiled(s, k, b))
         if compiled is not None

@@ -4,11 +4,18 @@ Times .lower().compile() of nested subsets of the step at a small image res
 (compile cost tracks HLO structure, not array sizes) against the TPU target.
 Usage: python tools/dev/_prof_compile.py [res] [grid] [spp] [batch]
 """
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 import jax
+
+# The axon TPU plugin WINS over the JAX_PLATFORMS env var in this image —
+# re-apply it through jax.config so `JAX_PLATFORMS=cpu python ...` really
+# runs chipless (otherwise this script contends with whatever owns the TPU).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 import numpy as np
 
