@@ -64,7 +64,46 @@ def skirt(nu=96, nv=64):
     return np.asarray(vs, np.float32), np.asarray(fs, np.int32)
 
 
+def blob(nu=96, nv=72):
+    """WATERTIGHT quality-rung shape (the NeRF-chair-like regime of
+    ``train_gshelltet_synthetic.py`` / ``configs/nerf_chair.json``): a closed
+    genus-0 surface with low-frequency lobes + medium-frequency bumps —
+    concavities and curvature variety without open boundaries, so the mSDF
+    must learn to stay closed (msdf_reg_close_scale) while the SDF carries
+    all the geometry."""
+    vs, fs = [], []
+    for i in range(nv + 1):
+        th = np.pi * i / nv
+        s = np.sin(th)  # φ-dependent displacement → 0 at the poles
+        for j in range(nu):
+            ph = 2 * np.pi * j / nu
+            r = (
+                0.78
+                + 0.16 * np.sin(3 * th) * np.cos(2 * ph) * s
+                + 0.10 * np.cos(5 * th + 1.0) * np.sin(3 * ph) * s
+                + 0.05 * np.sin(7 * th) * np.sin(5 * ph + 0.5) * s
+            )
+            vs.append((r * s * np.cos(ph), r * np.cos(th), r * s * np.sin(ph)))
+    # weld each pole row to one vertex (a ring of distinct coincident verts
+    # would leave a topological boundary → not watertight)
+    vs = np.asarray(vs, np.float32)
+    remap = np.arange(len(vs))
+    remap[0:nu] = 0
+    remap[nv * nu : (nv + 1) * nu] = nv * nu
+    for i in range(nv):
+        for j in range(nu):
+            a = remap[i * nu + j]
+            b = remap[i * nu + (j + 1) % nu]
+            c = remap[(i + 1) * nu + (j + 1) % nu]
+            d = remap[(i + 1) * nu + j]
+            if a != b and b != c and c != a:
+                fs.append((a, b, c))
+            if a != c and c != d and d != a:
+                fs.append((a, c, d))
+    return vs, np.asarray(fs, np.int32)
+
+
 if __name__ == "__main__":
     kind, out = sys.argv[1], sys.argv[2]
-    v, f = {"sphere": sphere, "skirt": skirt}[kind]()
+    v, f = {"sphere": sphere, "skirt": skirt, "blob": blob}[kind]()
     write_obj(out, v, f)
