@@ -91,37 +91,62 @@ def _corner_weight_arrays(x: jax.Array, cfg: HashGridConfig, with_jac: bool):
     """(idx (P, 8L) int32, wgt (P, 8L), [dwx, dwy, dwz (P, 8L)]) — corner
     indices, trilinear weights, and (optionally) the weight derivatives, all
     as LANE-ALIGNED (·, 8L = 128 at default config) arrays.  Column order is
-    level-major: column l·8 + c."""
+    level-major: column l·8 + c with corner bit order c = cx·4 + cy·2 + cz.
+
+    Vectorized over (level, corner) — the former 16×8 Python loop emitted
+    ~1000 scalar-indexing HLO ops (×4 with the jacobian, ×2 in the
+    stochastic path) and alone cost ~12 s of the train step's compile; the
+    batched (P, L, 8)-shaped form compiles in ~1 s with identical values."""
     T = cfg.table_size
-    idx_all, wgt_all = [], []
-    dw_all = ([], [], [])
-    for level, res in enumerate(cfg.level_resolutions()):
-        xs = x * res
-        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res - 1)
-        t = xs - x0.astype(xs.dtype)
-        for cx in (0, 1):
-            for cy in (0, 1):
-                for cz in (0, 1):
-                    idx = _corner_index(
-                        x0[:, 0] + cx, x0[:, 1] + cy, x0[:, 2] + cz, res, T
-                    )
-                    idx_all.append(idx + level * T)
-                    fx = t[:, 0] if cx else 1.0 - t[:, 0]
-                    fy = t[:, 1] if cy else 1.0 - t[:, 1]
-                    fz = t[:, 2] if cz else 1.0 - t[:, 2]
-                    wgt_all.append(fx * fy * fz)
-                    if with_jac:
-                        sx = float(res) if cx else -float(res)
-                        sy = float(res) if cy else -float(res)
-                        sz = float(res) if cz else -float(res)
-                        dw_all[0].append(sx * fy * fz)
-                        dw_all[1].append(fx * sy * fz)
-                        dw_all[2].append(fx * fy * sz)
-    idx = jnp.stack(idx_all, axis=1)
-    wgt = jnp.stack(wgt_all, axis=1)
+    L = cfg.n_levels
+    p = x.shape[0]
+    res_list = cfg.level_resolutions()
+    res_f = jnp.asarray(res_list, x.dtype)  # (L,)
+    res_i = jnp.asarray(res_list, jnp.int32)
+
+    xs = x[:, None, :] * res_f[None, :, None]  # (P, L, 3)
+    x0 = jnp.clip(
+        jnp.floor(xs).astype(jnp.int32), 0, res_i[None, :, None] - 1
+    )
+    t = xs - x0.astype(xs.dtype)  # (P, L, 3)
+
+    corners = jnp.asarray(
+        [(cx, cy, cz) for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
+        jnp.int32,
+    )  # (8, 3)
+    ic = x0[:, :, None, :] + corners[None, None, :, :]  # (P, L, 8, 3)
+    ix, iy, iz = ic[..., 0], ic[..., 1], ic[..., 2]
+
+    # dense indexing where the level grid fits the table, spatial hash
+    # otherwise (instant-ngp §4).  The dense formula is evaluated with a
+    # masked resolution (1 on hash levels) so its products stay in int32
+    # range at the fine levels.
+    dense = jnp.asarray([(r + 1) ** 3 <= T for r in res_list], bool)  # (L,)
+    res_d = jnp.asarray(
+        [(r + 1) if (r + 1) ** 3 <= T else 1 for r in res_list], jnp.int32
+    )[None, :, None]
+    idx_dense = (ix * res_d + iy) * res_d + iz
+    h = (
+        ix * _PRIMES[0]
+        ^ iy * jnp.uint32(_PRIMES[1]).astype(jnp.int32)
+        ^ iz * jnp.uint32(_PRIMES[2]).astype(jnp.int32)
+    )
+    idx_hash = jnp.abs(h) % T
+    idx = jnp.where(dense[None, :, None], idx_dense, idx_hash)
+    idx = idx + (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
+    idx = idx.reshape(p, L * 8)
+
+    cbit = corners[None, None, :, :].astype(x.dtype)  # (1, 1, 8, 3)
+    f = cbit * t[:, :, None, :] + (1.0 - cbit) * (1.0 - t[:, :, None, :])
+    wgt = (f[..., 0] * f[..., 1] * f[..., 2]).reshape(p, L * 8)
     if not with_jac:
         return idx, wgt, None
-    return idx, wgt, tuple(jnp.stack(d, axis=1) for d in dw_all)
+    sgn = (2 * corners - 1).astype(x.dtype)  # (8, 3): ±1
+    sres = sgn[None, :, :] * res_f[:, None, None]  # (L, 8, 3)
+    dwx = (sres[None, ..., 0] * f[..., 1] * f[..., 2]).reshape(p, L * 8)
+    dwy = (f[..., 0] * sres[None, ..., 1] * f[..., 2]).reshape(p, L * 8)
+    dwz = (f[..., 0] * f[..., 1] * sres[None, ..., 2]).reshape(p, L * 8)
+    return idx, wgt, (dwx, dwy, dwz)
 
 
 def _feature_tables(params: HashGridParams, cfg: HashGridConfig):
