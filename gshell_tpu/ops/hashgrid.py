@@ -95,57 +95,78 @@ def _corner_weight_arrays(x: jax.Array, cfg: HashGridConfig, with_jac: bool):
 
     Vectorized over (level, corner) — the former 16×8 Python loop emitted
     ~1000 scalar-indexing HLO ops (×4 with the jacobian, ×2 in the
-    stochastic path) and alone cost ~12 s of the train step's compile; the
-    batched (P, L, 8)-shaped form compiles in ~1 s with identical values."""
+    stochastic path) and alone cost ~12 s of the train step's compile; this
+    batched form compiles in ~1 s with identical values.
+
+    Shape discipline: every tensor here is (P, 8L) — column c' = l·8 + c
+    with per-COLUMN constant vectors (level resolution, corner bits, level
+    offset) broadcast along the 128-lane minor axis.  A first draft shaped
+    the math (P, L, 8, 3); the minor dims pad 3 → 128 lanes on TPU and the
+    step's compile-time HBM check blew past one chip
+    (16.58 G needed vs 15.75 G at 512²/grid96/spp8/b2).  The per-level
+    floor/fraction is recomputed per corner column (8× redundant elementwise
+    work) — trivially fused, and it keeps everything lane-aligned."""
     T = cfg.table_size
     L = cfg.n_levels
     p = x.shape[0]
     res_list = cfg.level_resolutions()
-    res_f = jnp.asarray(res_list, x.dtype)  # (L,)
-    res_i = jnp.asarray(res_list, jnp.int32)
 
-    xs = x[:, None, :] * res_f[None, :, None]  # (P, L, 3)
-    x0 = jnp.clip(
-        jnp.floor(xs).astype(jnp.int32), 0, res_i[None, :, None] - 1
-    )
-    t = xs - x0.astype(xs.dtype)  # (P, L, 3)
+    # per-column (8L,) constants: column c' = l·8 + c, corner bit order
+    # c = cx·4 + cy·2 + cz
+    import numpy as _np
 
-    corners = jnp.asarray(
-        [(cx, cy, cz) for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
-        jnp.int32,
-    )  # (8, 3)
-    ic = x0[:, :, None, :] + corners[None, None, :, :]  # (P, L, 8, 3)
-    ix, iy, iz = ic[..., 0], ic[..., 1], ic[..., 2]
+    lvl = _np.repeat(_np.arange(L), 8)
+    cx = _np.tile(_np.array([0, 0, 0, 0, 1, 1, 1, 1]), L)
+    cy = _np.tile(_np.array([0, 0, 1, 1, 0, 0, 1, 1]), L)
+    cz = _np.tile(_np.array([0, 1, 0, 1, 0, 1, 0, 1]), L)
+    res_np = _np.asarray(res_list)[lvl]
+    dense_np = (res_np + 1) ** 3 <= T
+    res_col = jnp.asarray(res_np.astype(_np.float32), x.dtype)[None, :]
+    res_i_col = jnp.asarray(res_np, jnp.int32)[None, :]
+    # dense formula runs with a masked resolution (1 on hash levels) so its
+    # products stay in int32 range at the fine levels
+    res_d_col = jnp.asarray(
+        _np.where(dense_np, res_np + 1, 1), jnp.int32
+    )[None, :]
+    dense_col = jnp.asarray(dense_np)[None, :]
+    off_col = jnp.asarray(lvl * T, jnp.int32)[None, :]
+    cxb = jnp.asarray(cx, jnp.int32)[None, :]
+    cyb = jnp.asarray(cy, jnp.int32)[None, :]
+    czb = jnp.asarray(cz, jnp.int32)[None, :]
+
+    def axis(xd, cb):
+        """per-axis (P, 8L): corner index i and interp factor f."""
+        xs = xd[:, None] * res_col
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, res_i_col - 1)
+        t = xs - x0.astype(xs.dtype)
+        i = x0 + cb
+        f = jnp.where(cb == 1, t, 1.0 - t)
+        return i, f
+
+    ix, fx = axis(x[:, 0], cxb)
+    iy, fy = axis(x[:, 1], cyb)
+    iz, fz = axis(x[:, 2], czb)
 
     # dense indexing where the level grid fits the table, spatial hash
-    # otherwise (instant-ngp §4).  The dense formula is evaluated with a
-    # masked resolution (1 on hash levels) so its products stay in int32
-    # range at the fine levels.
-    dense = jnp.asarray([(r + 1) ** 3 <= T for r in res_list], bool)  # (L,)
-    res_d = jnp.asarray(
-        [(r + 1) if (r + 1) ** 3 <= T else 1 for r in res_list], jnp.int32
-    )[None, :, None]
-    idx_dense = (ix * res_d + iy) * res_d + iz
+    # otherwise (instant-ngp §4)
+    idx_dense = (ix * res_d_col + iy) * res_d_col + iz
     h = (
         ix * _PRIMES[0]
         ^ iy * jnp.uint32(_PRIMES[1]).astype(jnp.int32)
         ^ iz * jnp.uint32(_PRIMES[2]).astype(jnp.int32)
     )
     idx_hash = jnp.abs(h) % T
-    idx = jnp.where(dense[None, :, None], idx_dense, idx_hash)
-    idx = idx + (jnp.arange(L, dtype=jnp.int32) * T)[None, :, None]
-    idx = idx.reshape(p, L * 8)
+    idx = jnp.where(dense_col, idx_dense, idx_hash) + off_col  # (P, 8L)
 
-    cbit = corners[None, None, :, :].astype(x.dtype)  # (1, 1, 8, 3)
-    f = cbit * t[:, :, None, :] + (1.0 - cbit) * (1.0 - t[:, :, None, :])
-    wgt = (f[..., 0] * f[..., 1] * f[..., 2]).reshape(p, L * 8)
+    wgt = fx * fy * fz
     if not with_jac:
         return idx, wgt, None
-    sgn = (2 * corners - 1).astype(x.dtype)  # (8, 3): ±1
-    sres = sgn[None, :, :] * res_f[:, None, None]  # (L, 8, 3)
-    dwx = (sres[None, ..., 0] * f[..., 1] * f[..., 2]).reshape(p, L * 8)
-    dwy = (f[..., 0] * sres[None, ..., 1] * f[..., 2]).reshape(p, L * 8)
-    dwz = (f[..., 0] * f[..., 1] * sres[None, ..., 2]).reshape(p, L * 8)
+    sx = jnp.where(cxb == 1, res_col, -res_col)
+    sy = jnp.where(cyb == 1, res_col, -res_col)
+    sz = jnp.where(czb == 1, res_col, -res_col)
+    dwx = sx * fy * fz
+    dwy = fx * sy * fz
+    dwz = fx * fy * sz
     return idx, wgt, (dwx, dwy, dwz)
 
 
