@@ -117,18 +117,22 @@ def run_config(quick, res, grid, n_samples, batch):
     mat_cfg = MLPTexture3DConfig(
         channels=6, hash=HashGridConfig(), min_max=default_kd_ks_min_max()
     )
+    budget = float(os.environ.get("GSHELL_SHADE_BUDGET", "0.5"))
     flags = RenderFlags(
         resolution=(res, res),
         n_samples=n_samples,
-        bsdf="pbr",
-        use_denoiser=not quick,
+        # ablation knobs (per-stage attribution ladder, docs/STATUS.md)
+        bsdf=os.environ.get("GSHELL_BSDF", "pbr"),
+        use_denoiser=not quick and not os.environ.get("GSHELL_NO_DENOISER"),
         raster_chunk=512,
         # binned raster: at 512²×10⁵ faces the O(P·F) scan is ~40× more work
         tiled_raster=not quick,
         max_per_tile=1024,
         # foreground compaction: shade/material only the covered pixels
-        # (scene coverage ~28%; budget overflow is counted in px_dropped)
-        shade_budget=float(os.environ.get("GSHELL_SHADE_BUDGET", "0.5")),
+        # (scene coverage ~28%; budget overflow is counted in px_dropped);
+        # <= 0 disables compaction entirely
+        shade_budget=budget if budget > 0 else None,
+        jitter_tap_frac=float(os.environ.get("GSHELL_JITTER_TAP", "0.25")),
         mc_block=int(os.environ.get("GSHELL_MC_BLOCK", "8")),
     )
     tcfg = TrainConfig(batch=batch, use_shadows=True)
