@@ -188,80 +188,184 @@ class UNet3DConfig:
 
 
 class UNet3D(nn.Module):
-    """Returns (grid_score, occ_score) — ref unet3d_occgrid.py:145-203."""
+    """Returns (grid_score, occ_score) — ref unet3d_occgrid.py:145-203.
+
+    ``segment``: 'all' (default) runs the whole network.  'down' runs the
+    stem + down path + middle — plus the first ``up_split`` up LEVELS (the
+    low-resolution half; moving them into the first segment balances the
+    two programs' compile load) — and returns ``(h, hs, temb)`` with the
+    not-yet-consumed skips; 'up' takes those as ``h_in``/``hs_in``/
+    ``temb_in`` and runs up levels ``up_split:`` + the heads.
+    Every submodule carries an EXPLICIT name equal to its historical
+    auto-assigned name, so the parameter tree is byte-identical across
+    segments and with pre-refactor checkpoints.  Motivation: the axon
+    remote-compile helper crashes on the monolithic 128³ fwd+bwd program
+    (HTTP 500 regardless of remat/occ-head; 96³ compiles) — the segmented
+    trainer (train/diffusion.py) compiles down/up backward as two
+    half-sized programs."""
 
     cfg: UNet3DConfig
 
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,  # (B, D, D, D, C) feature grid, NDHWC
+        x: Optional[jax.Array],  # (B, D, D, D, C) feature grid, NDHWC
         occ: Optional[jax.Array],  # (B, 2D, 2D, 2D, 1) occ grid
-        timesteps: jax.Array,  # (B,) int/float labels
+        timesteps: Optional[jax.Array],  # (B,) int/float labels
         feature_mask: Optional[jax.Array] = None,  # (1, D, D, D, C)
         pixcat_mask: Optional[jax.Array] = None,  # (1, D, D, D, 1)
         occ_mask: Optional[jax.Array] = None,  # (1, 2D, 2D, 2D, 1)
         train: bool = False,
+        segment: str = "all",
+        h_in: Optional[jax.Array] = None,
+        hs_in: Optional[tuple] = None,
+        temb_in: Optional[jax.Array] = None,
+        up_split: int = 0,
     ):
         cfg = self.cfg
         nf = cfg.base_channels
         cdt = jnp.dtype(cfg.compute_dtype)
-        x = x.astype(cdt)
-        if occ is not None:
-            occ = occ.astype(cdt)
-        Res = nn.remat(ResBlock, static_argnums=(3,)) if cfg.remat else ResBlock
-        if feature_mask is None:
-            feature_mask = jnp.ones((1,) + x.shape[1:4] + (x.shape[-1],), x.dtype)
-        if pixcat_mask is None:
-            pixcat_mask = jnp.ones((1,) + x.shape[1:4] + (1,), x.dtype)
-
-        x = x * feature_mask
-        temb = get_timestep_embedding(timesteps, nf)
-        temb = nn.Dense(nf * 4, kernel_init=ddpm_init(), dtype=cdt)(temb)
-        temb = nn.Dense(nf * 4, kernel_init=ddpm_init(), dtype=cdt)(nn.silu(temb))
-
-        h = nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init(), dtype=cdt)(x)
-        h = h + nn.Conv(nf, (5, 5, 5), kernel_init=ddpm_init(), dtype=cdt)(
-            jnp.broadcast_to(pixcat_mask, (x.shape[0],) + pixcat_mask.shape[1:])
-        )
-        if cfg.use_occ and occ is not None:
-            if occ_mask is None:
-                occ_mask = jnp.ones((1,) + occ.shape[1:4] + (1,), occ.dtype)
-            occ = occ * occ_mask
-            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init(), dtype=cdt)(occ)
-            h = h + nn.Conv(nf, (3, 3, 3), strides=2, kernel_init=ddpm_init(), dtype=cdt)(
-                jnp.broadcast_to(occ_mask, (x.shape[0],) + occ_mask.shape[1:])
-            )
-
-        # Downsampling
-        hs = [h]
+        assert segment in ("all", "down", "up"), segment
+        if cfg.remat:
+            Res = nn.remat(ResBlock, static_argnums=(3,))
+            res_prefix = "CheckpointResBlock"
+        else:
+            Res = ResBlock
+            res_prefix = "ResBlock"
         n_levels = len(cfg.down_block_types)
-        for i_level, btype in enumerate(cfg.down_block_types):
-            nrb = cfg.num_res_blocks_1st_layer if i_level == 0 else cfg.num_res_blocks
-            for _ in range(nrb):
-                h = Res(
-                    out_ch=nf * cfg.ch_mult[i_level],
-                    dropout=cfg.dropout,
-                    use_attn=(btype == "AttnResBlock"),
-                    dtype=cdt,
-                )(hs[-1], temb, train)
-                hs.append(h)
-            if i_level != n_levels - 1:
-                hs.append(Downsample(cfg.resamp_with_conv, dtype=cdt)(hs[-1]))
+        # deterministic construction counter so 'up' blocks keep their
+        # historical names without constructing the 'down' blocks
+        n_down_blocks = cfg.num_res_blocks_1st_layer + (
+            n_levels - 1
+        ) * cfg.num_res_blocks
 
-        # Middle
-        h = hs[-1]
-        h = Res(dropout=cfg.dropout, use_attn=True, dtype=cdt)(h, temb, train)
-        h = Res(dropout=cfg.dropout, dtype=cdt)(h, temb, train)
-
-        # Upsampling
-        for i_level, btype in enumerate(cfg.up_block_types):
-            nrb = (
+        def up_nrb(i_level):
+            return (
                 cfg.num_res_blocks_1st_layer
                 if i_level == n_levels - 1
                 else cfg.num_res_blocks
             )
-            for _ in range(nrb + 1):
+
+        assert 0 <= up_split < n_levels, up_split
+        n_pre_up = sum(up_nrb(i) + 1 for i in range(up_split))
+        res_k = (
+            0
+            if segment in ("all", "down")
+            else n_down_blocks + 2 + n_pre_up
+        )
+
+        if segment in ("all", "down"):
+            x = x.astype(cdt)
+            if occ is not None:
+                occ = occ.astype(cdt)
+            if feature_mask is None:
+                feature_mask = jnp.ones(
+                    (1,) + x.shape[1:4] + (x.shape[-1],), x.dtype
+                )
+            if pixcat_mask is None:
+                pixcat_mask = jnp.ones((1,) + x.shape[1:4] + (1,), x.dtype)
+
+            x = x * feature_mask
+            temb = get_timestep_embedding(timesteps, nf)
+            temb = nn.Dense(
+                nf * 4, kernel_init=ddpm_init(), dtype=cdt, name="Dense_0"
+            )(temb)
+            temb = nn.Dense(
+                nf * 4, kernel_init=ddpm_init(), dtype=cdt, name="Dense_1"
+            )(nn.silu(temb))
+
+            h = nn.Conv(
+                nf, (5, 5, 5), kernel_init=ddpm_init(), dtype=cdt, name="Conv_0"
+            )(x)
+            h = h + nn.Conv(
+                nf, (5, 5, 5), kernel_init=ddpm_init(), dtype=cdt, name="Conv_1"
+            )(jnp.broadcast_to(pixcat_mask, (x.shape[0],) + pixcat_mask.shape[1:]))
+            if cfg.use_occ and occ is not None:
+                if occ_mask is None:
+                    occ_mask = jnp.ones((1,) + occ.shape[1:4] + (1,), occ.dtype)
+                occ = occ * occ_mask
+                h = h + nn.Conv(
+                    nf, (3, 3, 3), strides=2, kernel_init=ddpm_init(),
+                    dtype=cdt, name="Conv_2",
+                )(occ)
+                h = h + nn.Conv(
+                    nf, (3, 3, 3), strides=2, kernel_init=ddpm_init(),
+                    dtype=cdt, name="Conv_3",
+                )(jnp.broadcast_to(occ_mask, (x.shape[0],) + occ_mask.shape[1:]))
+
+            # Downsampling
+            hs = [h]
+            for i_level, btype in enumerate(cfg.down_block_types):
+                nrb = (
+                    cfg.num_res_blocks_1st_layer
+                    if i_level == 0
+                    else cfg.num_res_blocks
+                )
+                for _ in range(nrb):
+                    h = Res(
+                        out_ch=nf * cfg.ch_mult[i_level],
+                        dropout=cfg.dropout,
+                        use_attn=(btype == "AttnResBlock"),
+                        dtype=cdt,
+                        name=f"{res_prefix}_{res_k}",
+                    )(hs[-1], temb, train)
+                    res_k += 1
+                    hs.append(h)
+                if i_level != n_levels - 1:
+                    hs.append(
+                        Downsample(
+                            cfg.resamp_with_conv, dtype=cdt,
+                            name=f"Downsample_{i_level}",
+                        )(hs[-1])
+                    )
+
+            # Middle
+            h = hs[-1]
+            h = Res(
+                dropout=cfg.dropout, use_attn=True, dtype=cdt,
+                name=f"{res_prefix}_{res_k}",
+            )(h, temb, train)
+            res_k += 1
+            h = Res(
+                dropout=cfg.dropout, dtype=cdt, name=f"{res_prefix}_{res_k}"
+            )(h, temb, train)
+            res_k += 1
+
+            if segment == "down":
+                # run the first up_split (low-res) up levels here too —
+                # balances the two segment programs' compile load
+                for i_level in range(up_split):
+                    btype = cfg.up_block_types[i_level]
+                    for _ in range(up_nrb(i_level) + 1):
+                        h = Res(
+                            out_ch=nf * cfg.ch_mult[n_levels - i_level - 1],
+                            dropout=cfg.dropout,
+                            use_attn=(btype == "AttnResBlock"),
+                            dtype=cdt,
+                            name=f"{res_prefix}_{res_k}",
+                        )(h, temb, train, hs.pop())
+                        res_k += 1
+                    if i_level != n_levels - 1:
+                        h = Upsample(
+                            cfg.resamp_with_conv, dtype=cdt,
+                            name=f"Upsample_{i_level}",
+                        )(h)
+                return h, tuple(hs), temb
+        else:
+            h = h_in.astype(cdt)
+            hs = [hi.astype(cdt) for hi in hs_in]
+            temb = temb_in.astype(cdt)
+            if feature_mask is None or occ_mask is None:
+                raise ValueError(
+                    "segment='up' needs explicit feature_mask/occ_mask (the "
+                    "defaults are derived from x/occ, absent here)"
+                )
+
+        # Upsampling
+        up_start = up_split if segment == "up" else 0
+        for i_level in range(up_start, n_levels):
+            btype = cfg.up_block_types[i_level]
+            for _ in range(up_nrb(i_level) + 1):
                 # skip passed separately; concat happens inside the (rematted)
                 # block so the saved residual aliases the live down-path value
                 h = Res(
@@ -269,22 +373,29 @@ class UNet3D(nn.Module):
                     dropout=cfg.dropout,
                     use_attn=(btype == "AttnResBlock"),
                     dtype=cdt,
+                    name=f"{res_prefix}_{res_k}",
                 )(h, temb, train, hs.pop())
+                res_k += 1
             if i_level != n_levels - 1:
-                h = Upsample(cfg.resamp_with_conv, dtype=cdt)(h)
+                h = Upsample(
+                    cfg.resamp_with_conv, dtype=cdt, name=f"Upsample_{i_level}"
+                )(h)
 
         assert not hs
-        h = nn.silu(GroupNormF32()(h))
-        grid = nn.Conv(cfg.data_ch, (5, 5, 5), kernel_init=ddpm_init(0.0), dtype=cdt)(h)
+        h = nn.silu(GroupNormF32(name="GroupNormF32_0")(h))
+        grid = nn.Conv(
+            cfg.data_ch, (5, 5, 5), kernel_init=ddpm_init(0.0), dtype=cdt,
+            name="Conv_4",
+        )(h)
         grid = grid.astype(jnp.float32) * feature_mask
 
         grid_occ = None
-        if cfg.use_occ and occ is not None:
+        if cfg.use_occ and (occ is not None or segment == "up"):
             # torch ConvTranspose3d(k=4, s=2, p=1) ≡ exact ×2 upsample; flax
             # 'SAME' padding gives the same in·stride output extent.
             grid_occ = nn.ConvTranspose(
                 1, (4, 4, 4), strides=(2, 2, 2), padding="SAME",
-                kernel_init=ddpm_init(), dtype=cdt,
+                kernel_init=ddpm_init(), dtype=cdt, name="ConvTranspose_0",
             )(h)
             grid_occ = grid_occ.astype(jnp.float32) * occ_mask
         return grid, grid_occ

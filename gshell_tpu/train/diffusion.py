@@ -47,6 +47,23 @@ class DiffusionTrainConfig:
     num_scales: int = 1000
     snapshot_freq: int = 1000
     param_dtype: str = "float32"
+    # Segmented backward: compile the step as FOUR half-sized programs
+    # (down fwd / up fwd+bwd / down fwd+bwd / optimizer) instead of one.
+    # Needed at the reference 128³ working point: the axon remote-compile
+    # helper crashes (HTTP 500) on the monolithic 128³ fwd+bwd regardless
+    # of remat/occ-head, while 96³ compiles — see models/unet3d.UNet3D
+    # ``segment``.  Costs one extra down-path forward per step.
+    segmented_grad: bool = False
+    # How many (low-res) up LEVELS run inside the first segment — balances
+    # the two programs' compile load (unet3d.UNet3D ``up_split``).  At 128³
+    # the up path alone still crashes the helper with split 0; 4 moves all
+    # sub-32³ up levels into the first program.
+    segmented_up_split: int = 0
+    # HBM residency of the non-param state during the grad programs (the
+    # per-program compile check cannot see it): bf16 Adam-mu + bf16 EMA
+    # free ~1.6 GB at the reference 411M-param UNet.  f32 = reference-exact.
+    mu_dtype: Optional[str] = None
+    ema_dtype: Optional[str] = None
 
 
 def _is_groupnorm_mod(key: str, val) -> bool:
@@ -120,7 +137,8 @@ class DiffusionTrainer:
         self.model = UNet3D(self.unet_cfg)
         self.sde = make_vpsde(cfg.beta_min, cfg.beta_max, cfg.num_scales)
         self.tx = make_optimizer(
-            cfg.lr, cfg.warmup, cfg.grad_clip, cfg.weight_decay
+            cfg.lr, cfg.warmup, cfg.grad_clip, cfg.weight_decay,
+            mu_dtype=cfg.mu_dtype,
         )
         self.feature_mask = feature_mask
         self.occ_mask = occ_mask
@@ -161,7 +179,7 @@ class DiffusionTrainer:
         state = DiffusionTrainState(
             params=params,
             opt_state=self.tx.init(params),
-            ema=ema_init(params),
+            ema=ema_init(params, dtype=self.cfg.ema_dtype),
             step=jnp.zeros((), jnp.int32),
         )
         # replicate params across the mesh; batches get sharded per step.
@@ -231,6 +249,112 @@ class DiffusionTrainer:
             params=params, opt_state=opt_state, ema=ema, step=state.step + 1
         )
         return new_state, {"loss": loss_sum / a}
+
+    # ---------------- segmented train step (cfg.segmented_grad) ----------
+    # Four separately-compiled programs chained in Python.  Exact parity
+    # with train_step: sample_perturbation reuses the same key splits, and
+    # flax dropout folds by module PATH (identical across segments), so
+    # every stochastic draw matches the monolithic step bit-for-bit.
+
+    def _masks_like(self, noise, noise_occ):
+        fm = self.feature_mask
+        om = self.occ_mask
+        if fm is None:
+            fm = jnp.ones_like(noise[:1])
+        if om is None and noise_occ is not None:
+            om = jnp.ones_like(noise_occ[:1])
+        return fm, om
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _seg_down_fwd(self, params, key, mb):
+        from ..models.losses import sample_perturbation
+
+        labels, noise, pert, noise_occ, pert_occ, k_drop = sample_perturbation(
+            self.sde, key, mb["grid"], mb.get("occgrid")
+        )
+        h, hs, temb = self.model.apply(
+            {"params": params}, pert, pert_occ, labels,
+            feature_mask=self.feature_mask, occ_mask=self.occ_mask,
+            train=True, rngs={"dropout": k_drop}, segment="down",
+            up_split=self.cfg.segmented_up_split,
+        )
+        return h, hs, temb, noise, noise_occ, k_drop
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4))
+    def _seg_up_grad(self, params, h, hs, temb, noise, noise_occ, k_drop):
+        from ..models.losses import masked_score_mse
+
+        fm, om = self._masks_like(noise, noise_occ)
+        b = noise.shape[0]
+
+        def up_loss(p, h_, hs_, temb_):
+            pred, pred_occ = self.model.apply(
+                {"params": p}, None, None, None,
+                feature_mask=fm, occ_mask=om,
+                train=True, rngs={"dropout": k_drop}, segment="up",
+                h_in=h_, hs_in=hs_, temb_in=temb_,
+                up_split=self.cfg.segmented_up_split,
+            )
+            return masked_score_mse(
+                pred, pred_occ, noise, noise_occ, fm, om, b
+            )
+
+        loss, (gp, g_h, g_hs, g_temb) = jax.value_and_grad(
+            up_loss, argnums=(0, 1, 2, 3)
+        )(params, h, hs, temb)
+        return loss, gp, g_h, g_hs, g_temb
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(4, 5, 6))
+    def _seg_down_bwd(self, params, key, mb, g_h, g_hs, g_temb):
+        from ..models.losses import sample_perturbation
+
+        labels, _, pert, _, pert_occ, k_drop = sample_perturbation(
+            self.sde, key, mb["grid"], mb.get("occgrid")
+        )
+
+        def down_fn(p):
+            return self.model.apply(
+                {"params": p}, pert, pert_occ, labels,
+                feature_mask=self.feature_mask, occ_mask=self.occ_mask,
+                train=True, rngs={"dropout": k_drop}, segment="down",
+                up_split=self.cfg.segmented_up_split,
+            )
+
+        _, vjp = jax.vjp(down_fn, params)
+        (gp,) = vjp((g_h, g_hs, g_temb))
+        return gp
+
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
+    def _seg_update(self, state, gp_up, gp_down, loss):
+        grads = jax.tree_util.tree_map(jnp.add, gp_up, gp_down)
+        updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, self.cfg.ema_rate)
+        new_state = DiffusionTrainState(
+            params=params, opt_state=opt_state, ema=ema, step=state.step + 1
+        )
+        return new_state, {"loss": loss}
+
+    def train_step_segmented(self, state, key, batch):
+        """Drop-in for train_step at configs the monolithic program cannot
+        compile (128³).  num_grad_acc_steps must be 1."""
+        if self.cfg.num_grad_acc_steps != 1:
+            raise ValueError("segmented_grad supports num_grad_acc_steps=1")
+        lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if lead != 1:
+            raise ValueError(
+                f"batch leading (accumulation) axis is {lead}, expected 1"
+            )
+        _, sub = jax.random.split(key)
+        mb = jax.tree_util.tree_map(lambda t: t[0], batch)
+        h, hs, temb, noise, noise_occ, k_drop = self._seg_down_fwd(
+            state.params, sub, mb
+        )
+        loss, gp_up, g_h, g_hs, g_temb = self._seg_up_grad(
+            state.params, h, hs, temb, noise, noise_occ, k_drop
+        )
+        gp_down = self._seg_down_bwd(state.params, sub, mb, g_h, g_hs, g_temb)
+        return self._seg_update(state, gp_up, gp_down, loss)
 
     # ---------------- checkpointing (ref trainer.py:48-55, utils.py:6-47) ---
     def save_checkpoint(self, path: str, state: DiffusionTrainState):

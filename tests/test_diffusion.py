@@ -230,3 +230,59 @@ def test_train_step_rejects_accum_axis_mismatch():
     }
     with pytest.raises(ValueError, match="accumulation"):
         trainer.train_step(state, jax.random.PRNGKey(1), batch)
+
+
+@pytest.mark.parametrize("up_split", [0, 1])
+def test_segmented_step_matches_monolithic(up_split):
+    """cfg.segmented_grad compiles the step as four half-sized programs
+    (the 128^3 monolithic backward crashes the axon compile helper); the
+    chained result must match train_step exactly — same perturbation draws
+    (sample_perturbation shares the key splits) and same dropout (flax
+    folds by module path, identical across segments)."""
+    d = 8
+    unet_cfg = UNet3DConfig(
+        data_ch=2, base_channels=8, ch_mult=(1, 2),
+        down_block_types=("ResBlock", "AttnResBlock"),
+        up_block_types=("AttnResBlock", "ResBlock"),
+        num_res_blocks=1, num_res_blocks_1st_layer=1, dropout=0.1,
+        remat=True, compute_dtype="bfloat16",
+    )
+    cfg = DiffusionTrainConfig(
+        grid_size=d, data_ch=2, use_occ=True, num_grad_acc_steps=1, warmup=10,
+        segmented_up_split=up_split,
+    )
+    batch = {
+        "grid": jax.random.normal(jax.random.PRNGKey(5), (1, 2, d, d, d, 2)),
+        "occgrid": jax.random.normal(
+            jax.random.PRNGKey(6), (1, 2, 2 * d, 2 * d, 2 * d, 1)
+        ),
+    }
+    key = jax.random.PRNGKey(11)
+
+    tr_a = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    st_a = tr_a.init_state(jax.random.PRNGKey(0))
+    st_a, m_a = tr_a.train_step(st_a, key, batch)
+
+    tr_b = DiffusionTrainer(cfg, unet_cfg=unet_cfg)
+    st_b = tr_b.init_state(jax.random.PRNGKey(0))
+    st_b, m_b = tr_b.train_step_segmented(st_b, key, batch)
+
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_a.params),
+        jax.tree_util.tree_leaves(st_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-7,
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_a.ema),
+        jax.tree_util.tree_leaves(st_b.ema),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-7,
+        )

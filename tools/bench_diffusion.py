@@ -46,8 +46,21 @@ def main():
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+    # 128³: the monolithic fwd+bwd crashes the axon remote-compile helper
+    # (HTTP 500; 96³ compiles) — use the segmented-backward step there.
+    # Override with GSHELL_SEGMENTED=0/1.
+    seg_env = os.environ.get("GSHELL_SEGMENTED")
+    segmented = (d >= 128) if seg_env is None else seg_env not in ("0", "")
+    up_split = int(os.environ.get("GSHELL_SEG_SPLIT", "4")) if segmented else 0
     cfg = DiffusionTrainConfig(grid_size=d, data_ch=4, use_occ=True,
-                               num_grad_acc_steps=1, warmup=10)
+                               num_grad_acc_steps=1, warmup=10,
+                               segmented_grad=segmented,
+                               segmented_up_split=up_split,
+                               # bf16 mu/EMA: ~1.6 GB less resident state —
+                               # needed beside the grad programs' temps at
+                               # 128³ (the compile check can't see residency)
+                               mu_dtype="bfloat16" if segmented else None,
+                               ema_dtype="bfloat16" if segmented else None)
     # single-chip memory policy: ResBlock remat + bf16 compute (params f32)
     unet_cfg = UNet3DConfig(data_ch=4, use_occ=True, remat=True,
                             compute_dtype="bfloat16")
@@ -84,6 +97,87 @@ def main():
     aot_sec = None
     t0 = time.time()
     compiled = None
+    if segmented:
+        # compile the four segment programs; report memory per program.
+        # Execution goes through train_step_segmented (jit cache is warm
+        # after these compiles — same programs).
+        mb = jax.eval_shape(
+            lambda bb: jax.tree_util.tree_map(lambda t: t[0], bb), batch
+        )
+        akey = jax.eval_shape(lambda: jax.random.PRNGKey(2))
+        total_bytes = 0.0
+        total_flops = 0.0
+        ok = True
+        down_out = jax.eval_shape(
+            lambda p, k, m: trainer._seg_down_fwd(p, k, m), state.params,
+            akey, mb,
+        )
+        up_out = jax.eval_shape(
+            lambda p, *a: trainer._seg_up_grad(p, *a), state.params, *down_out
+        )
+        progs = [
+            ("down_fwd", type(trainer)._seg_down_fwd,
+             (state.params, akey, mb)),
+            ("up_grad", type(trainer)._seg_up_grad,
+             (state.params,) + tuple(down_out)),
+            ("down_bwd", type(trainer)._seg_down_bwd,
+             (state.params, akey, mb) + tuple(up_out[2:5])),
+            ("update", type(trainer)._seg_update,
+             (state, up_out[1], up_out[1], up_out[0])),
+        ]
+        for name, fn, args in progs:
+            t1 = time.time()
+            try:
+                c = fn.lower(trainer, *args).compile()
+                msg = f"# {name}: compiled {time.time()-t1:.1f}s"
+                try:
+                    ma = c.memory_analysis()
+                    if ma is not None:
+                        msg += (
+                            "  args %.2f out %.2f temp %.2f GB"
+                            % (
+                                ma.argument_size_in_bytes / 2**30,
+                                ma.output_size_in_bytes / 2**30,
+                                ma.temp_size_in_bytes / 2**30,
+                            )
+                        )
+                except Exception:
+                    pass
+                try:
+                    ca = c.cost_analysis()
+                    if isinstance(ca, (list, tuple)):
+                        ca = ca[0]
+                    total_flops += float(ca.get("flops", 0.0))
+                    total_bytes += float(ca.get("bytes accessed", 0.0))
+                except Exception:
+                    pass
+                print(msg, file=sys.stderr, flush=True)
+            except Exception as e:
+                ok = False
+                print(f"# {name}: FAIL {str(e)[:300]}", file=sys.stderr,
+                      flush=True)
+        aot_sec = time.time() - t0
+        step_flops = total_flops or None
+        step_bytes = total_bytes or None
+        if compile_only:
+            print("# compile-only mode: exiting before execution",
+                  file=sys.stderr)
+            sys.exit(0 if ok else 1)
+        step = lambda s, k, b: trainer.train_step_segmented(s, k, b)
+        t0 = time.time()
+        state, m = step(state, key, batch)
+        loss0 = float(m["loss"])
+        compile_sec = time.time() - t0
+        print(f"# first step: {compile_sec:.1f}s loss={loss0:.4f}",
+              file=sys.stderr)
+        t0 = time.time()
+        for _ in range(n):
+            key, k = jax.random.split(key)
+            state, m = step(state, k, batch)
+        float(m["loss"])
+        dt = (time.time() - t0) / n
+        _emit(d, b, dt, n_params, aot_sec, step_flops, step_bytes)
+        return
     try:
         lowered = type(trainer).train_step.lower(trainer, state, key, batch)
         print(f"# lowered: {time.time()-t0:.1f}s", file=sys.stderr)
@@ -141,8 +235,12 @@ def main():
         state, m = step(state, k, batch)
     float(m["loss"])
     dt = (time.time() - t0) / n
-    ips = 1.0 / dt
+    _emit(d, b, dt, n_params, aot_sec if aot_sec is not None else compile_sec,
+          step_flops, step_bytes)
 
+
+def _emit(d, b, dt, n_params, compile_sec, step_flops, step_bytes):
+    ips = 1.0 / dt
     # Reference recipe projection on v5e-8 (ref config :32-34): 2.4M optimizer
     # steps × 4 sequential grad-accum micro-steps; 8-way DP is parallel.
     n_accum = 4
@@ -153,7 +251,7 @@ def main():
         "unit": "ms/step",
         "iters_per_sec": round(ips, 3),
         "params_M": round(n_params / 1e6, 1),
-        "compile_sec": round(aot_sec if aot_sec is not None else compile_sec, 1),
+        "compile_sec": round(compile_sec, 1) if compile_sec else None,
         "recipe_2p4M_days_v5e8": round(recipe_days, 2),
     }
     if step_flops is not None:
