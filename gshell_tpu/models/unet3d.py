@@ -165,6 +165,33 @@ class Upsample(nn.Module):
         return x
 
 
+def up_param_names(cfg: "UNet3DConfig", up_split: int) -> set:
+    """Top-level param-tree keys owned by the ``segment='up'`` half at a
+    given ``up_split`` — mirrors the module's construction-counter logic.
+    Used by the segmented trainer to differentiate w.r.t. ONLY the up
+    subtree (the full-tree gradient is ~1.6 GB of mostly zeros at the
+    reference UNet; the subtree at split 5 is ~30 MB)."""
+    n_levels = len(cfg.down_block_types)
+    prefix = "CheckpointResBlock" if cfg.remat else "ResBlock"
+
+    def up_nrb(i):
+        return (
+            cfg.num_res_blocks_1st_layer
+            if i == n_levels - 1
+            else cfg.num_res_blocks
+        )
+
+    n_down = cfg.num_res_blocks_1st_layer + (n_levels - 1) * cfg.num_res_blocks
+    start = n_down + 2 + sum(up_nrb(i) + 1 for i in range(up_split))
+    total = n_down + 2 + sum(up_nrb(i) + 1 for i in range(n_levels))
+    names = {f"{prefix}_{k}" for k in range(start, total)}
+    names |= {f"Upsample_{i}" for i in range(up_split, n_levels - 1)}
+    names |= {"GroupNormF32_0", "Conv_4"}
+    if cfg.use_occ:
+        names.add("ConvTranspose_0")
+    return names
+
+
 @dataclasses.dataclass(frozen=True)
 class UNet3DConfig:
     data_ch: int = 4

@@ -280,16 +280,30 @@ class DiffusionTrainer:
         )
         return h, hs, temb, noise, noise_occ, k_drop
 
-    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4))
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=(2, 3, 4, 5, 6))
     def _seg_up_grad(self, params, h, hs, temb, noise, noise_occ, k_drop):
         from ..models.losses import masked_score_mse
 
         fm, om = self._masks_like(noise, noise_occ)
         b = noise.shape[0]
 
-        def up_loss(p, h_, hs_, temb_):
+        # Differentiate w.r.t. ONLY the up-subtree params (up_param_names):
+        # the full-tree gradient is ~1.6 GB of mostly zeros at the
+        # reference UNet (the down leaves never feed the up segment), and
+        # it would stay RESIDENT through down_bwd — the per-program compile
+        # checks cannot see cross-program residency, so this is pure peak-
+        # HBM relief (~30 MB subtree at up_split=5).  p_up's leaves alias
+        # params' buffers (dict re-pack, no copy).
+        from ..models.unet3d import up_param_names
+
+        up_keys = sorted(
+            up_param_names(self.unet_cfg, self.cfg.segmented_up_split)
+        )
+
+        def up_loss(p_up, h_, hs_, temb_):
+            merged = {**params, **p_up}
             pred, pred_occ = self.model.apply(
-                {"params": p}, None, None, None,
+                {"params": merged}, None, None, None,
                 feature_mask=fm, occ_mask=om,
                 train=True, rngs={"dropout": k_drop}, segment="up",
                 h_in=h_, hs_in=hs_, temb_in=temb_,
@@ -299,10 +313,11 @@ class DiffusionTrainer:
                 pred, pred_occ, noise, noise_occ, fm, om, b
             )
 
-        loss, (gp, g_h, g_hs, g_temb) = jax.value_and_grad(
+        p_up = {k: params[k] for k in up_keys}
+        loss, (gp_up, g_h, g_hs, g_temb) = jax.value_and_grad(
             up_loss, argnums=(0, 1, 2, 3)
-        )(params, h, hs, temb)
-        return loss, gp, g_h, g_hs, g_temb
+        )(p_up, h, hs, temb)
+        return loss, gp_up, g_h, g_hs, g_temb
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(4, 5, 6))
     def _seg_down_bwd(self, params, key, mb, g_h, g_hs, g_temb):
@@ -326,7 +341,12 @@ class DiffusionTrainer:
 
     @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2, 3))
     def _seg_update(self, state, gp_up, gp_down, loss):
-        grads = jax.tree_util.tree_map(jnp.add, gp_up, gp_down)
+        # gp_up holds only the up-subtree (up_param_names); gp_down is the
+        # full tree whose up leaves are the symbolic-zero cotangents of the
+        # down segment — merge by addition on the subtree.
+        grads = dict(gp_down)
+        for k, g in gp_up.items():
+            grads[k] = jax.tree_util.tree_map(jnp.add, grads[k], g)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params, self.cfg.ema_rate)

@@ -115,6 +115,10 @@ def main():
         up_out = jax.eval_shape(
             lambda p, *a: trainer._seg_up_grad(p, *a), state.params, *down_out
         )
+        down_g = jax.eval_shape(
+            lambda p, k, m, *c: trainer._seg_down_bwd(p, k, m, *c),
+            state.params, akey, mb, *up_out[2:5],
+        )
         progs = [
             ("down_fwd", type(trainer)._seg_down_fwd,
              (state.params, akey, mb)),
@@ -123,7 +127,7 @@ def main():
             ("down_bwd", type(trainer)._seg_down_bwd,
              (state.params, akey, mb) + tuple(up_out[2:5])),
             ("update", type(trainer)._seg_update,
-             (state, up_out[1], up_out[1], up_out[0])),
+             (state, up_out[1], down_g, up_out[0])),
         ]
         for name, fn, args in progs:
             t1 = time.time()

@@ -58,3 +58,7 @@ stage ablate_jitterfull env GSHELL_JITTER_TAP=1.0 timeout 3000 python bench.py -
 stage bench_full timeout 3400 python bench.py
 
 echo "=== queue complete $(date -u +%H:%M:%S) ===" >> "$LOG/queue.log"
+
+# 6. device-trace DRAM attribution (VERDICT #7) — measured bytes, not the
+# cost model; output parsed by _trace_agg.py
+stage trace timeout 3000 python tools/dev/_trace_step.py 512,64,8,1 60
