@@ -36,6 +36,10 @@ def main():
                    "train_gshell.py) with a DIFFERENT view seed")
     p.add_argument("--out-dir", type=str, default="out/validate")
     p.add_argument("--n-views", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None,
+                   help="override n_samples for BOTH the GT render and the "
+                   "eval render (the spp-8 GT has an MC-noise floor of its "
+                   "own — see tools/dev/_r5_psnr_floor.py)")
     p.add_argument("--gt-unit-size", action="store_true",
                    help="unit_size-normalize --gt-mesh before the Chamfer "
                    "(REQUIRED for synthetic runs: DatasetMesh trains against "
@@ -87,7 +91,8 @@ def main():
         ),
     )
     rflags = RenderFlags(
-        resolution=tuple(flags.train_res), n_samples=flags.n_samples,
+        resolution=tuple(flags.train_res),
+        n_samples=args.spp or flags.n_samples,
         bsdf=flags.bsdf, use_denoiser=flags.denoiser == "bilateral",
     )
     light = update_pdf(jnp.asarray(light_base))

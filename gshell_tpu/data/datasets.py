@@ -365,7 +365,7 @@ class DatasetMesh(PosedImageDataset):
     def __init__(self, mesh, light, mat_params, mat_cfg, flags, n_views: int = 64,
                  cam_radius: float = 3.0, fovy_deg: float = 45.0, seed: int = 0,
                  layers: int = 1, shadows: bool = False,
-                 shadow_grid_res: int = 65):
+                 shadow_grid_res: int = 65, render_seed: int = 0):
         """``layers`` mirrors reference FLAGS.layers: with layers > 1 the
         dataset also emits 'img_second'/'invdepth_second' supervision
         (ref dataset_mesh.py:110-124 returns shaded_second/invdepth buffers).
@@ -462,8 +462,11 @@ class DatasetMesh(PosedImageDataset):
             eye = jnp.asarray(v * cam_radius, jnp.float32)
             view = gmath.lookat(eye, jnp.zeros(3), jnp.array([0.0, 1.0, 0.0]))
             mvp = proj @ view
+            # render_seed: decorrelate the per-view MC noise between two
+            # datasets with identical views (used by the PSNR-noise-floor
+            # diagnostic); 0 reproduces the historical PRNGKey(i) exactly
             buf = render_view(
-                jax.random.PRNGKey(i), mvp, eye,
+                jax.random.PRNGKey(i + 7919 * render_seed), mvp, eye,
                 v_pos_d, t_idx_d, v_nrm_d, mat_params, light, vis_consts,
             )
             img = np.array(buf["shaded"])  # writable copy (np.asarray of a
