@@ -45,6 +45,11 @@ stage eval_q4_spp32 timeout 3400 python eval_reconstruction.py \
   --synthetic-ref-mesh /tmp/skirt.obj --spp 32 \
   --out-dir out/skirt_q4/validate_spp32
 
+# 3b. mc_block sweep (the MC loop is the top stage: ~490 ms of the b1
+# step per the fresh ablation; block size trades loop trips vs transient)
+stage mcblock16 env GSHELL_MC_BLOCK=16 timeout 3000 python bench.py --one 512,64,8,1
+stage mcblock32 env GSHELL_MC_BLOCK=32 timeout 3000 python bench.py --one 512,64,8,1
+
 # 4. watertight quality rung (blob, 1500 iters ~80 min + restarts)
 bash tools/run_quality.sh blob configs/synthetic_blob_512_shadowed.json out/blob_q1 24
 echo "=== queue2 complete $(date -u +%H:%M:%S) ===" >> "$LOG/queue2.log"
