@@ -36,6 +36,8 @@ def main():
                    "train_gshell.py) with a DIFFERENT view seed")
     p.add_argument("--out-dir", type=str, default="out/validate")
     p.add_argument("--n-views", type=int, default=None)
+    p.add_argument("--dump-images", action="store_true",
+                   help="write per-view [render|ref|5x diff] triptychs")
     p.add_argument("--spp", type=int, default=None,
                    help="override n_samples for BOTH the GT render and the "
                    "eval render (the spp-8 GT has an MC-noise floor of its "
@@ -165,7 +167,7 @@ def main():
         )
         metrics = validate(
             _render_batch_fn(), ds, out_dir=args.out_dir,
-            n_views=args.n_views or 16,
+            n_views=args.n_views or 16, dump_images=args.dump_images,
         )
         print(f"held-out synthetic PSNR: {metrics['psnr']:.3f}  "
               f"MSE: {metrics['mse']:.6f}")
@@ -182,7 +184,8 @@ def main():
             ds = DatasetDeepFashion(args.testset_path, train_res=tuple(flags.train_res))
 
         metrics = validate(
-            _render_batch_fn(), ds, out_dir=args.out_dir, n_views=args.n_views
+            _render_batch_fn(), ds, out_dir=args.out_dir,
+            n_views=args.n_views, dump_images=args.dump_images,
         )
         print(f"PSNR: {metrics['psnr']:.3f}  MSE: {metrics['mse']:.6f}")
         results.update(metrics)

@@ -25,9 +25,13 @@ def validate_view(buffers: dict, ref_img: jax.Array):
     return mse, mse_to_psnr(mse)
 
 
-def validate(render_fn: Callable, dataset, out_dir: str | None = None, n_views: int | None = None):
+def validate(render_fn: Callable, dataset, out_dir: str | None = None, n_views: int | None = None,
+             dump_images: bool = False):
     """Render every held-out view, compute MSE/PSNR, optionally write
-    metrics.txt (ref :238-271)."""
+    metrics.txt (ref :238-271).  ``dump_images`` also writes per-view
+    ``val_{i}.png`` triptychs [render | reference | 5×|diff|] (sRGB) —
+    the ref dumps opt/ref pairs at :261-264; the diff panel localizes
+    where the PSNR is lost (silhouette vs albedo vs shading)."""
     rows = []
     n = n_views or len(dataset)
     for i in range(n):
@@ -35,6 +39,17 @@ def validate(render_fn: Callable, dataset, out_dir: str | None = None, n_views: 
         buffers = render_fn(batch)
         single = {k: v[0] for k, v in buffers.items() if hasattr(v, "ndim") and v.ndim >= 3}
         mse, psnr = validate_view(single, batch["img"][0])
+        if dump_images and out_dir:
+            from ..utils.image import save_image
+
+            os.makedirs(out_dir, exist_ok=True)
+            opt = np.clip(np.asarray(rgb_to_srgb(single["shaded"][..., 0:3])), 0, 1)
+            ref = np.clip(np.asarray(rgb_to_srgb(batch["img"][0][..., 0:3])), 0, 1)
+            diff = np.clip(5.0 * np.abs(opt - ref), 0, 1)
+            save_image(
+                os.path.join(out_dir, f"val_{i:03d}.png"),
+                np.concatenate([opt, ref, diff], axis=1),
+            )
         rows.append((float(mse), float(psnr)))
     mses, psnrs = zip(*rows)
     avg = (float(np.mean(mses)), float(np.mean(psnrs)))
