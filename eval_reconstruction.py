@@ -103,22 +103,25 @@ def main():
     # When the run trained with shadowed GT (flags.gt_shadows), the model's
     # materials were fit under its own shadowing — evaluating shadow-free
     # would systematically over-brighten.  Mirror the training render: the
-    # swept shadow field from the FITTED geometry's SDF lattice
-    # (train/reconstruct.py:149-160).
+    # surface-splat occupancy of the FITTED cut mesh (the same occluder
+    # tick builds each training step; train/reconstruct shadow_source
+    # 'mesh_splat').
     vis_cfg, vis_consts, eval_shadow_scale = None, {}, 0.0
     if getattr(flags, "gt_shadows", False):
+        from gshell_tpu.ops.mesh_ops import compact_faces
         from gshell_tpu.ops.shade import make_shadow_field_parts
         from gshell_tpu.train.reconstruct import TrainConfig as _TC
 
-        half = 0.5 * gcfg.scale * np.asarray(gcfg.boxscale)
-        sdf_grid = jax.jit(geo.sdf_lattice)(params_geo)
-        # shadow_ko/method follow TrainConfig defaults, which is what
-        # train_gshell.py trains with (it exposes no override today) — if a
-        # knob for these ever lands in Flags, thread it through here too so
-        # eval keeps rendering with the field the run actually trained with
+        faces_c, fvalid_c, _ = compact_faces(
+            mesh.faces, mesh.face_valid, cap=geo.extractor.max_tets
+        )
+        occ, amin, asz = geo.splat_occupancy(
+            jax.random.PRNGKey(191), mesh.verts, faces_c, fvalid_c
+        )
+        # shadow_ko follows TrainConfig defaults, which is what
+        # train_gshell.py trains with (it exposes no override today)
         vis_cfg, vis_consts = make_shadow_field_parts(
-            sdf_grid, tuple((-half).tolist()), tuple((2 * half).tolist()),
-            ko=_TC().shadow_ko,
+            occ, amin, asz, ko=_TC().shadow_ko,
         )
         eval_shadow_scale = 1.0
 

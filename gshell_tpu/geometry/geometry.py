@@ -279,13 +279,52 @@ class GShellGeometry:
         )
 
     def sdf_lattice(self, params: dict) -> jax.Array:
-        """SDF on the (res+1)³ lattice for shadow-ray marching.  Note the
-        framework sign convention: sdf > 0 ⇔ inside (occ_n, ref
-        gshell_tets.py:250).  Uses undeformed lattice (deformation ≤ half a
-        cell — negligible for shadows)."""
+        """SDF on the (res+1)³ lattice.  SIGN: the sphere pretrain fits
+        ``‖x‖ − r`` (``pretrain_sdf``), so the trained field is
+        inside-NEGATIVE (standard distance) — measured on the skirt_q4
+        state: min −0.17 inside, max 0.77 at the box corners.  An earlier
+        docstring here claimed inside-positive (misreading ref occ_n), and
+        the shadow builders trusted it — the occluder grid marked the
+        EXTERIOR as solid and every shaded pixel went black once the shadow
+        ramp hit 1.0 (the 16 dB ceiling of the q3/q4 quality runs).  Shadow
+        callers must pass occupancy = (this < 0); the default training
+        shadow source is now the cut-mesh surface splat (tick
+        ``visibility_fn='mesh_splat'``), which has no sign ambiguity and —
+        unlike any template-SDF proxy — matches the reference's occluder
+        (OptiX BVH over the CUT mesh: mSDF-discarded faces and ghost
+        template regions do not occlude there either)."""
         _, sdf, _ = self.fields(params)
         r = self.cfg.grid_res + 1
         return sdf.reshape(r, r, r)
+
+    def splat_occupancy(
+        self, key, verts, faces, face_valid, res: int = 65,
+        n_samples: int = 1 << 17,
+    ):
+        """0/1 occupancy lattice of the CUT surface (valid faces only) over
+        the geometry box — the training-side twin of DatasetMesh's GT
+        splat (datasets.py gt_shadows).  stop-gradient: visibility carries
+        no gradients in the reference either (kernel.cu:97-99)."""
+        import numpy as np
+
+        from ..ops.mesh_ops import sample_surface
+
+        half = 0.5 * self.cfg.scale * np.asarray(self.boxscale, np.float32)
+        amin = jnp.asarray(-half)
+        asz = jnp.asarray(2 * half)
+        pts = sample_surface(
+            key, jax.lax.stop_gradient(verts), faces, n_samples,
+            face_mask=face_valid,
+        )
+        ijk = jnp.clip(
+            ((pts - amin) / asz * (res - 1)).astype(jnp.int32), 0, res - 1
+        )
+        occ = (
+            jnp.zeros((res, res, res), jnp.float32)
+            .at[ijk[:, 0], ijk[:, 1], ijk[:, 2]]
+            .set(1.0)
+        )
+        return occ, tuple((-half).tolist()), tuple((2 * half).tolist())
 
     def clamp_params(self, params: dict) -> dict:
         """Post-step clamps (ref clamp_deform :161-165)."""
@@ -311,6 +350,7 @@ class GShellGeometry:
         shadow_scale=1.0,
         denoiser_sigma=2.0,
         spatial_mesh=None,
+        shadow_ko: int = 16,
     ):
         """One training evaluation → (img_loss, depth_loss, reg_loss, aux).
 
@@ -342,8 +382,24 @@ class GShellGeometry:
         )
         mesh = mesh._replace(v_nrm=_auto_normals(mesh.verts, faces_c, fvalid_c))
 
-        keys = jax.random.split(key, target["mvp"].shape[0] + 2)
-        k_render, k_eik = keys[:-2], keys[-2]
+        keys = jax.random.split(key, target["mvp"].shape[0] + 3)
+        k_render, k_eik, k_splat = keys[:-3], keys[-3], keys[-2]
+
+        if visibility_fn == "mesh_splat":
+            # Shadow the scene with the CUT mesh itself (reference parity:
+            # the OptiX BVH is built over the extracted cut mesh,
+            # gshell_tets_geometry.py:206-211) — a per-step surface-splat
+            # occupancy + swept directional field.  Any template-SDF proxy
+            # occludes with mSDF-discarded faces and ghost sdf<0 regions
+            # the reference's shadows never see.
+            from ..ops.shade import make_shadow_field_parts
+
+            occ, amin, asz = self.splat_occupancy(
+                k_splat, mesh.verts, faces_c, fvalid_c
+            )
+            visibility_fn = make_shadow_field_parts(
+                occ, amin, asz, ko=shadow_ko
+            )
 
         second = cfg.use_img_2nd_layer or cfg.use_depth_2nd_layer
 

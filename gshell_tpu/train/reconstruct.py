@@ -47,6 +47,13 @@ class TrainConfig:
     # 'march': per-ray occupancy marching (n_steps gathers/query)
     shadow_method: str = "field"
     shadow_ko: int = 16  # octahedral bins per side for 'field'
+    # Occluder volume: 'mesh_splat' (default) = surface-splat occupancy of
+    # the extracted CUT mesh, rebuilt every step inside tick — the
+    # reference's occluder is the OptiX BVH over the SAME cut mesh.  'sdf'
+    # = legacy template-SDF proxy; it occludes with mSDF-discarded and
+    # ghost template regions, and (the round-5 root cause) the trained SDF
+    # is inside-NEGATIVE, so it must be negated before the occupancy test.
+    shadow_source: str = "mesh_splat"
 
 
 def _lr_schedule(base: float):
@@ -146,17 +153,23 @@ class Reconstructor:
 
         def loss_fn(params_geo, params_mat, light_base):
             light = update_pdf(light_base)
-            if tcfg.use_shadows:
-                sdf_grid = self.geo.sdf_lattice(params_geo)
+            if tcfg.use_shadows and tcfg.shadow_source == "mesh_splat":
+                # occluder built INSIDE tick from the extracted cut mesh
+                visibility_fn = "mesh_splat"
+            elif tcfg.use_shadows:
+                # legacy template-SDF proxy; the trained SDF is inside-
+                # NEGATIVE (see GShellGeometry.sdf_lattice) and the builders
+                # test occupancy as value > 0 — negate.
+                occ_grid = -self.geo.sdf_lattice(params_geo)
                 # (cfg, consts) parts form: the traced shadow volume rides the
                 # MC accumulator's args (no tracer closures under lax.map)
                 if tcfg.shadow_method == "field":
                     visibility_fn = make_shadow_field_parts(
-                        sdf_grid, self.aabb_min, self.aabb_size, ko=tcfg.shadow_ko
+                        occ_grid, self.aabb_min, self.aabb_size, ko=tcfg.shadow_ko
                     )
                 else:
                     visibility_fn = make_sdf_visibility_parts(
-                        sdf_grid, self.aabb_min, self.aabb_size
+                        occ_grid, self.aabb_min, self.aabb_size
                     )
             else:
                 visibility_fn = None
@@ -174,6 +187,7 @@ class Reconstructor:
                 shadow_scale=shadow_scale,
                 denoiser_sigma=denoiser_sigma,
                 spatial_mesh=self.mesh,
+                shadow_ko=tcfg.shadow_ko,
             )
             # total = img + depth + reg (ref optimize_mesh :429)
             total = img_loss + depth_loss + reg_loss

@@ -351,3 +351,40 @@ def test_shadow_field_end_to_end_psnr():
     mean_err = float(np.abs(img_f - img_m).mean()) / max(peak, 1e-12)
     assert psnr > 26.0, (psnr, mean_err)
     assert mean_err < 0.02, (psnr, mean_err)
+
+
+def test_mesh_splat_occluder_orientation():
+    """Round-5 root cause guard: the shadow builders treat value>0 as
+    OCCUPIED.  A surface-splat occupancy of a horizontal plate must occlude
+    rays crossing the plate and pass rays leaving it — and the empty
+    exterior must never occlude (the inverted-SDF bug rendered every shaded
+    pixel black once shadow_scale hit 1)."""
+    import numpy as np
+
+    from gshell_tpu.geometry.geometry import GeometryConfig, GShellGeometry
+    from gshell_tpu.ops.shade import apply_visibility, make_shadow_field_parts
+
+    geo = GShellGeometry(GeometryConfig(grid_res=16, scale=1.4))
+    # horizontal square plate at y=0 spanning x,z in [-0.4, 0.4]
+    g = np.linspace(-0.4, 0.4, 9)
+    vs = np.array([[x, 0.0, z] for x in g for z in g], np.float32)
+    fs = []
+    for i in range(8):
+        for j in range(8):
+            a = i * 9 + j
+            fs.append([a, a + 1, a + 10])
+            fs.append([a, a + 10, a + 9])
+    fs = np.asarray(fs, np.int32)
+    occ, amin, asz = geo.splat_occupancy(
+        jax.random.PRNGKey(0), jnp.asarray(vs), jnp.asarray(fs),
+        jnp.ones((len(fs),), bool), res=33, n_samples=1 << 15,
+    )
+    assert 0 < float(occ.sum()) < 33 ** 3 * 0.05  # thin sheet, not a solid
+    cfg, consts = make_shadow_field_parts(occ, amin, asz, ko=16)
+
+    ro = jnp.asarray([[0.0, 0.3, 0.0], [0.0, 0.3, 0.0], [0.0, -0.3, 0.0]])
+    rd = jnp.asarray([[0.0, 1.0, 0.0], [0.0, -1.0, 0.0], [0.0, 1.0, 0.0]])
+    vis = np.asarray(apply_visibility(cfg, consts, ro, rd)).ravel()
+    assert vis[0] == 1.0  # above the plate, looking up: clear
+    assert vis[1] == 0.0  # above the plate, looking down through it: blocked
+    assert vis[2] == 0.0  # below, looking up through it: blocked
