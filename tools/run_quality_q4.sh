@@ -14,6 +14,7 @@ OUT=out/skirt_q4
 mkdir -p "$OUT"
 [ -f /tmp/skirt.obj ] || python tools/make_synthetic_gt.py skirt /tmp/skirt.obj
 
+rc=1
 for i in $(seq 1 "$N"); do
   if [ -f "$OUT/STOP" ]; then
     echo "=== STOP file present; exiting (resume later with --resume) ===" >> "$OUT/train.log"
@@ -31,3 +32,5 @@ for i in $(seq 1 "$N"); do
   echo "=== attempt $i died rc=$rc; waiting for tunnel recovery ===" >> "$OUT/train.log"
   sleep 60
 done
+# exit non-zero when every attempt failed (ADVICE r4)
+exit $rc
