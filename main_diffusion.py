@@ -62,6 +62,11 @@ def main():
     # spans all processes; each process then loads only its own batch rows
     # (DistributedGridSampler — the DistributedSampler analogue,
     # ref trainer_ddp.py:30-37,79-83)
+    p.add_argument("--segmented", action="store_true",
+                   help="segmented backward (4 half-sized programs) — the "
+                   "128^3 working point on one 16 GB chip; requires "
+                   "--grad-acc 1 (see train/diffusion.py segmented_grad)")
+    p.add_argument("--seg-up-split", type=int, default=5)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--coordinator", type=str, default=None,
                    help="host:port for manual jax.distributed setups")
@@ -91,6 +96,10 @@ def main():
         num_grad_acc_steps=args.grad_acc,
         lr=args.lr,
         snapshot_freq=args.snapshot_freq,
+        segmented_grad=args.segmented,
+        segmented_up_split=args.seg_up_split if args.segmented else 0,
+        mu_dtype="bfloat16" if args.segmented else None,
+        ema_dtype="bfloat16" if args.segmented else None,
     )
     unet_cfg = None
     if args.base_channels or args.ch_mult:
@@ -131,7 +140,10 @@ def main():
         for it in range(start, args.n_iters):
             batch = sampler_in()
             key, k = jax.random.split(key)
-            state, m = trainer.train_step(state, k, batch)
+            if cfg.segmented_grad:
+                state, m = trainer.train_step_segmented(state, k, batch)
+            else:
+                state, m = trainer.train_step(state, k, batch)
             if it % args.log_freq == 0:
                 print(f"step {it}: loss={float(m['loss']):.6f}", flush=True)
             if it % args.snapshot_freq == 0 and it > 0:
