@@ -120,8 +120,9 @@ def main():
     )
     timeit("env_shade (no shadows)", shade_ns, key, n=4)
 
+    # occupancy = inside = sdf < 0 (the trained SDF is inside-negative)
     sdf_grid = geo.sdf_lattice(params)
-    vis = make_sdf_visibility(sdf_grid, (-0.7,) * 3, (1.4,) * 3)
+    vis = make_sdf_visibility(-sdf_grid, (-0.7,) * 3, (1.4,) * 3)
     shade_sh = jax.jit(
         lambda k: env_shade(k, mask, pos, pos, nrm, view_b, kd, ks, light,
                             n_samples_x=NSAMP, bsdf="pbr", shadow_scale=1.0,
