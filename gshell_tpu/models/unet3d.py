@@ -165,7 +165,8 @@ class Upsample(nn.Module):
         return x
 
 
-def up_param_names(cfg: "UNet3DConfig", up_split: int) -> set:
+def up_param_names(cfg: "UNet3DConfig", up_split: int,
+                   up_split_blocks: int = 0) -> set:
     """Top-level param-tree keys owned by the ``segment='up'`` half at a
     given ``up_split`` — mirrors the module's construction-counter logic.
     Used by the segmented trainer to differentiate w.r.t. ONLY the up
@@ -182,7 +183,8 @@ def up_param_names(cfg: "UNet3DConfig", up_split: int) -> set:
         )
 
     n_down = cfg.num_res_blocks_1st_layer + (n_levels - 1) * cfg.num_res_blocks
-    start = n_down + 2 + sum(up_nrb(i) + 1 for i in range(up_split))
+    start = (n_down + 2 + sum(up_nrb(i) + 1 for i in range(up_split))
+             + up_split_blocks)
     total = n_down + 2 + sum(up_nrb(i) + 1 for i in range(n_levels))
     names = {f"{prefix}_{k}" for k in range(start, total)}
     names |= {f"Upsample_{i}" for i in range(up_split, n_levels - 1)}
@@ -248,6 +250,7 @@ class UNet3D(nn.Module):
         hs_in: Optional[tuple] = None,
         temb_in: Optional[jax.Array] = None,
         up_split: int = 0,
+        up_split_blocks: int = 0,
     ):
         cfg = self.cfg
         nf = cfg.base_channels
@@ -274,7 +277,8 @@ class UNet3D(nn.Module):
             )
 
         assert 0 <= up_split < n_levels, up_split
-        n_pre_up = sum(up_nrb(i) + 1 for i in range(up_split))
+        assert 0 <= up_split_blocks <= up_nrb(up_split), up_split_blocks
+        n_pre_up = sum(up_nrb(i) + 1 for i in range(up_split)) + up_split_blocks
         res_k = (
             0
             if segment in ("all", "down")
@@ -360,7 +364,10 @@ class UNet3D(nn.Module):
 
             if segment == "down":
                 # run the first up_split (low-res) up levels here too —
-                # balances the two segment programs' compile load
+                # balances the two segment programs' compile load — plus
+                # up_split_blocks LEADING blocks of level up_split (block-
+                # granular boundary: the last level's three 128³ blocks are
+                # where the residency peaks)
                 for i_level in range(up_split):
                     btype = cfg.up_block_types[i_level]
                     for _ in range(up_nrb(i_level) + 1):
@@ -377,6 +384,16 @@ class UNet3D(nn.Module):
                             cfg.resamp_with_conv, dtype=cdt,
                             name=f"Upsample_{i_level}",
                         )(h)
+                btype = cfg.up_block_types[up_split]
+                for _ in range(up_split_blocks):
+                    h = Res(
+                        out_ch=nf * cfg.ch_mult[n_levels - up_split - 1],
+                        dropout=cfg.dropout,
+                        use_attn=(btype == "AttnResBlock"),
+                        dtype=cdt,
+                        name=f"{res_prefix}_{res_k}",
+                    )(h, temb, train, hs.pop())
+                    res_k += 1
                 return h, tuple(hs), temb
         else:
             h = h_in.astype(cdt)
@@ -392,7 +409,12 @@ class UNet3D(nn.Module):
         up_start = up_split if segment == "up" else 0
         for i_level in range(up_start, n_levels):
             btype = cfg.up_block_types[i_level]
-            for _ in range(up_nrb(i_level) + 1):
+            skip_lead = (
+                up_split_blocks
+                if (segment == "up" and i_level == up_split)
+                else 0
+            )
+            for _ in range(up_nrb(i_level) + 1 - skip_lead):
                 # skip passed separately; concat happens inside the (rematted)
                 # block so the saved residual aliases the live down-path value
                 h = Res(

@@ -59,6 +59,10 @@ class DiffusionTrainConfig:
     # the up path alone still crashes the helper with split 0; 4 moves all
     # sub-32³ up levels into the first program.
     segmented_up_split: int = 0
+    # block-granular boundary: how many LEADING blocks of level
+    # segmented_up_split also run in the first segment (the 128³ level's
+    # three blocks are where up_grad's peak lives)
+    segmented_up_split_blocks: int = 0
     # HBM residency of the non-param state during the grad programs (the
     # per-program compile check cannot see it): bf16 Adam-mu + bf16 EMA
     # free ~1.6 GB at the reference 411M-param UNet.  f32 = reference-exact.
@@ -277,6 +281,7 @@ class DiffusionTrainer:
             feature_mask=self.feature_mask, occ_mask=self.occ_mask,
             train=True, rngs={"dropout": k_drop}, segment="down",
             up_split=self.cfg.segmented_up_split,
+            up_split_blocks=self.cfg.segmented_up_split_blocks,
         )
         return h, hs, temb, noise, noise_occ, k_drop
 
@@ -297,7 +302,8 @@ class DiffusionTrainer:
         from ..models.unet3d import up_param_names
 
         up_keys = sorted(
-            up_param_names(self.unet_cfg, self.cfg.segmented_up_split)
+            up_param_names(self.unet_cfg, self.cfg.segmented_up_split,
+                           self.cfg.segmented_up_split_blocks)
         )
 
         def up_loss(p_up, h_, hs_, temb_):
@@ -308,6 +314,7 @@ class DiffusionTrainer:
                 train=True, rngs={"dropout": k_drop}, segment="up",
                 h_in=h_, hs_in=hs_, temb_in=temb_,
                 up_split=self.cfg.segmented_up_split,
+                up_split_blocks=self.cfg.segmented_up_split_blocks,
             )
             return masked_score_mse(
                 pred, pred_occ, noise, noise_occ, fm, om, b
@@ -333,6 +340,7 @@ class DiffusionTrainer:
                 feature_mask=self.feature_mask, occ_mask=self.occ_mask,
                 train=True, rngs={"dropout": k_drop}, segment="down",
                 up_split=self.cfg.segmented_up_split,
+            up_split_blocks=self.cfg.segmented_up_split_blocks,
             )
 
         _, vjp = jax.vjp(down_fn, params)

@@ -232,8 +232,8 @@ def test_train_step_rejects_accum_axis_mismatch():
         trainer.train_step(state, jax.random.PRNGKey(1), batch)
 
 
-@pytest.mark.parametrize("up_split", [0, 1])
-def test_segmented_step_matches_monolithic(up_split):
+@pytest.mark.parametrize("up_split,up_blocks", [(0, 0), (1, 0), (1, 1)])
+def test_segmented_step_matches_monolithic(up_split, up_blocks):
     """cfg.segmented_grad compiles the step as four half-sized programs
     (the 128^3 monolithic backward crashes the axon compile helper); the
     chained result must match train_step exactly — same perturbation draws
@@ -250,6 +250,7 @@ def test_segmented_step_matches_monolithic(up_split):
     cfg = DiffusionTrainConfig(
         grid_size=d, data_ch=2, use_occ=True, num_grad_acc_steps=1, warmup=10,
         segmented_up_split=up_split,
+        segmented_up_split_blocks=up_blocks,
     )
     batch = {
         "grid": jax.random.normal(jax.random.PRNGKey(5), (1, 2, d, d, d, 2)),

@@ -51,11 +51,13 @@ def main():
     # Override with GSHELL_SEGMENTED=0/1.
     seg_env = os.environ.get("GSHELL_SEGMENTED")
     segmented = (d >= 128) if seg_env is None else seg_env not in ("0", "")
-    up_split = int(os.environ.get("GSHELL_SEG_SPLIT", "4")) if segmented else 0
+    up_split = int(os.environ.get("GSHELL_SEG_SPLIT", "5")) if segmented else 0
+    up_blocks = int(os.environ.get("GSHELL_SEG_SPLIT_BLOCKS", "1")) if segmented else 0
     cfg = DiffusionTrainConfig(grid_size=d, data_ch=4, use_occ=True,
                                num_grad_acc_steps=1, warmup=10,
                                segmented_grad=segmented,
                                segmented_up_split=up_split,
+                               segmented_up_split_blocks=up_blocks,
                                # bf16 mu/EMA: ~1.6 GB less resident state —
                                # needed beside the grad programs' temps at
                                # 128³ (the compile check can't see residency)
